@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: fused inference throughput (forward + anchor decode + NMS).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+The baseline for vs_baseline is the BASELINE.json target of 5,000
+images/sec/chip fused inference at 352×352 (the reference itself has no
+TPU number; its 3.29 ms Kirin-990 latency ≈ 304 img/s).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # axon tunnel quirk: first device->host transfer takes minutes; pay it
+    # up front so it doesn't pollute the measurement.
+    jax.device_get(jnp.zeros((8, 128)))
+
+    from fastdet.config import Config
+    from fastdet.models import Detector
+    from fastdet.ops.postprocess import build_detect_fn
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cfg = Config.from_file(os.path.join(repo, "data", "coco.data")) \
+        if os.path.exists(os.path.join(repo, "data", "coco.data")) \
+        else Config.from_file("/root/reference/data/coco.data")
+
+    model = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+
+    npz = os.path.join(repo, "weights", "coco2017-ref.npz")
+    if os.path.exists(npz):
+        from fastdet.io.torch_convert import load_npz_variables
+        variables = jax.tree.map(jnp.asarray, load_npz_variables(npz))
+    else:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, cfg.height, cfg.width, 3)),
+                               train=False)
+
+    detect = build_detect_fn(model, cfg, conf_thres=0.3, iou_thres=0.4,
+                             dtype=jnp.bfloat16)
+
+    batch = int(os.environ.get("FASTDET_BENCH_BATCH", "512"))
+    iters = int(os.environ.get("FASTDET_BENCH_ITERS", "20"))
+
+    rng = np.random.RandomState(0)
+    imgs = jax.device_put(jnp.asarray(
+        rng.randint(0, 255, (batch, cfg.height, cfg.width, 3), np.uint8)))
+
+    # compile + warm
+    out = detect(variables, imgs)
+    jax.block_until_ready(out)
+
+    # p50 latency, batch 1
+    img1 = jax.device_put(jnp.asarray(
+        rng.randint(0, 255, (1, cfg.height, cfg.width, 3), np.uint8)))
+    jax.block_until_ready(detect(variables, img1))
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(detect(variables, img1))
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    # throughput: enqueue all iterations, block once (results stay on
+    # device — fetching mid-loop flips the axon relay into a ~30 ms
+    # sync-dispatch mode and would measure the tunnel, not the chip)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect(variables, imgs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    img_per_s = batch / dt
+
+    result = {
+        "metric": "fused_inference_images_per_sec_per_chip_352",
+        "value": round(float(img_per_s), 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(float(img_per_s) / 5000.0, 3),
+        "batch": batch,
+        "p50_latency_ms_b1": round(p50_ms, 3),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+from fastdet.io.checkpoint import save_checkpoint, load_checkpoint, latest_step
+from fastdet.io.torch_convert import convert_torch_checkpoint, load_torch_weights
+
+__all__ = [
+    "save_checkpoint", "load_checkpoint", "latest_step",
+    "convert_torch_checkpoint", "load_torch_weights",
+]

@@ -1,0 +1,165 @@
+"""Jitted data-parallel training step + Trainer orchestration.
+
+Optimizer parity with the reference (/root/reference/train.py:81-90):
+SGD, momentum 0.949, weight decay 5e-4 applied to ALL parameters the
+torch way (wd·p added to the gradient BEFORE the momentum buffer), LR =
+quartic warmup then multi-step decay.  `subdivisions` gives gradient
+accumulation with SUMMED (not averaged) gradients, matching
+loss.backward() accumulation semantics (train.py:110,122-124).
+
+TPU-native structure: one jitted `train_step` over a data mesh — batch
+sharded on axis 0, state replicated; XLA inserts the gradient
+all-reduce over ICI, and BatchNorm's batch reductions become global
+(synchronized BN) automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastdet.config import Config
+from fastdet.parallel.mesh import DATA_AXIS
+from fastdet.train.loss import compute_loss
+from fastdet.train.schedule import make_lr_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    grad_accum: Any          # summed grads for `subdivisions` accumulation
+    accum_count: jnp.ndarray
+
+
+def make_optimizer(momentum: float = 0.949,
+                   weight_decay: float = 5e-4) -> optax.GradientTransformation:
+    """SGD core WITHOUT the lr scale — the train step multiplies by
+    -lr(batch_step) itself so warmup advances per BATCH (reference
+    semantics, train.py:112-117), not per optimizer apply."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+    )
+
+
+def create_train_state(model, variables: dict, tx) -> TrainState:
+    params = variables["params"]
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        grad_accum=zeros,
+        accum_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
+                    input_hw: Tuple[int, int], subdivisions: int = 1,
+                    mesh: Optional[Mesh] = None,
+                    compute_dtype=jnp.float32) -> Callable:
+    """Returns jitted `train_step(state, images_u8, labels, label_mask,
+    anchors) -> (state, metrics)`.
+
+    anchors is threaded as a runtime argument (never a baked constant —
+    see fastdet/ops/postprocess.py for the compiler pathology).
+    """
+
+    def loss_fn(params, batch_stats, images, labels, label_mask, anchors):
+        x = images.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x,
+            train=True, mutable=["batch_stats"])
+        total, comps = compute_loss(outputs, labels, label_mask, anchors,
+                                    input_hw)
+        return total, (comps, mutated["batch_stats"])
+
+    def step_fn(state: TrainState, images, labels, label_mask, anchors):
+        (total, (comps, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   images, labels, label_mask, anchors)
+
+        grad_accum = jax.tree.map(jnp.add, state.grad_accum, grads)
+        count = state.accum_count + 1
+
+        lr = schedule(state.step)
+
+        def apply(_):
+            updates, new_opt = tx.update(grad_accum, state.opt_state,
+                                         state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(state.params, updates)
+            zeros = jax.tree.map(jnp.zeros_like, grad_accum)
+            return new_params, new_opt, zeros, jnp.zeros((), jnp.int32)
+
+        def hold(_):
+            return (state.params, state.opt_state, grad_accum, count)
+
+        if subdivisions == 1:
+            new_params, new_opt, new_accum, new_count = apply(None)
+        else:
+            new_params, new_opt, new_accum, new_count = jax.lax.cond(
+                count >= subdivisions, apply, hold, None)
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt, grad_accum=new_accum, accum_count=new_count)
+        metrics = dict(comps)
+        metrics["lr"] = lr
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.jit(step_fn,
+                       in_shardings=(repl, data, data, data, repl),
+                       out_shardings=(repl, repl))
+    return jax.jit(step_fn)
+
+
+class Trainer:
+    """High-level loop: schedule, optimizer, DP mesh, eval/save cadence."""
+
+    def __init__(self, model, cfg: Config, steps_per_epoch: int,
+                 mesh: Optional[Mesh] = None, subdivisions: Optional[int] = None,
+                 compute_dtype=jnp.float32):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.schedule = make_lr_schedule(
+            cfg.learning_rate, steps_per_epoch,
+            cfg.steps or (), gamma=0.1, warmup_epochs=5)
+        self.tx = make_optimizer()
+        self.anchors = jnp.asarray(
+            np.asarray(cfg.anchors, np.float32).reshape(
+                cfg.num_scales, cfg.anchor_num, 2))
+        self.train_step = make_train_step(
+            model, self.tx, self.schedule, self.anchors,
+            (cfg.height, cfg.width),
+            subdivisions=subdivisions or cfg.subdivisions or 1,
+            mesh=mesh, compute_dtype=compute_dtype)
+
+    def init_state(self, variables: dict) -> TrainState:
+        state = create_train_state(self.model, variables, self.tx)
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            state = jax.device_put(state, repl)
+        return state
+
+    def step(self, state: TrainState, images, labels, label_mask
+             ) -> Tuple[TrainState, Dict]:
+        return self.train_step(state, images, labels, label_mask,
+                               self.anchors)
+
+    def current_lr(self, step: int) -> float:
+        return float(self.schedule(step))

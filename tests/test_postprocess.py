@@ -1,0 +1,123 @@
+"""Decode + NMS parity vs the reference postprocess chain, incl. the
+golden-image end-to-end check on img/000139.jpg."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastdet.models import Detector
+from fastdet.ops.decode import decode_outputs
+from fastdet.ops.nms import batched_nms
+from fastdet.ops.postprocess import build_detect_fn
+from tests.conftest import GOLDEN_IMG, requires_reference
+
+
+@pytest.fixture(scope="module")
+def golden_batch(coco_cfg):
+    ori = cv2.imread(GOLDEN_IMG)
+    res = cv2.resize(ori, (coco_cfg.width, coco_cfg.height),
+                     interpolation=cv2.INTER_LINEAR)
+    return res[None]  # (1,H,W,3) uint8 BGR
+
+
+@requires_reference
+def test_decode_parity(ref_variables, torch_model, torch_ref, coco_cfg,
+                       golden_batch):
+    """Our batched decode equals the reference handel_preds python loop."""
+    torch = torch_ref.torch
+    x = golden_batch.astype(np.float32) / 255.0
+    with torch.no_grad():
+        preds = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref_out = torch_ref.utils.handel_preds(preds, coco_cfg.to_dict(), "cpu")
+
+    model = Detector(classes=80, anchor_num=3)
+    outs = model.apply(ref_variables, jnp.asarray(x), train=False)
+    anchors = jnp.asarray(
+        np.asarray(coco_cfg.anchors, np.float32).reshape(2, 3, 2))
+    dec = decode_outputs(outs, anchors, (352, 352))
+    assert dec.shape == ref_out.shape  # (1, 1815, 85)
+    np.testing.assert_allclose(np.asarray(dec), ref_out.numpy(), atol=2e-3)
+
+
+@requires_reference
+def test_golden_image_detections(ref_variables, torch_model, torch_ref,
+                                 coco_cfg, golden_batch):
+    """End-to-end: image → boxes matches the full reference chain."""
+    torch = torch_ref.torch
+    x = golden_batch.astype(np.float32) / 255.0
+    with torch.no_grad():
+        preds = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref_out = torch_ref.utils.handel_preds(preds, coco_cfg.to_dict(), "cpu")
+    ref_boxes = torch_ref.utils.non_max_suppression(
+        ref_out, conf_thres=0.3, iou_thres=0.4)[0].numpy()
+
+    model = Detector(classes=80, anchor_num=3)
+    detect = build_detect_fn(model, coco_cfg, conf_thres=0.3, iou_thres=0.4)
+    dets, counts = detect(ref_variables, jnp.asarray(golden_batch))
+    n = int(counts[0])
+    assert n == len(ref_boxes)
+    np.testing.assert_allclose(np.asarray(dets[0, :n]), ref_boxes,
+                               atol=5e-2)
+
+
+def test_nms_semantics_random():
+    """Fixed-shape NMS equals a greedy numpy reference on random boxes."""
+    rng = np.random.RandomState(7)
+    n, nc = 200, 5
+    cxy = rng.rand(n, 2).astype(np.float32) * 300
+    wh = rng.rand(n, 2).astype(np.float32) * 80 + 5
+    boxes = np.concatenate([cxy, wh], -1)
+    obj = rng.rand(n).astype(np.float32)
+    cls = rng.rand(n, nc).astype(np.float32)
+    cls /= cls.sum(-1, keepdims=True)
+
+    conf_thres, iou_thres = 0.25, 0.45
+    dets, count = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(obj[None]),
+                              jnp.asarray(cls[None]), conf_thres=conf_thres,
+                              iou_thres=iou_thres, max_det=50, max_nms=256)
+    dets, count = np.asarray(dets[0]), int(count[0])
+
+    # numpy reference (reference utils/utils.py:232-296 semantics)
+    conf = cls * obj[:, None]
+    best = conf.max(-1)
+    j = conf.argmax(-1)
+    valid = (obj > conf_thres) & (best > conf_thres)
+    xyxy = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+    idx = np.where(valid)[0]
+    idx = idx[np.argsort(-best[idx], kind="stable")]
+    keep = []
+    sup = set()
+    for i in idx:
+        if i in sup:
+            continue
+        keep.append(i)
+        for k in idx:
+            if k in sup or k == i or j[k] != j[i]:
+                continue
+            bi, bk = xyxy[i], xyxy[k]
+            iw = max(0.0, min(bi[2], bk[2]) - max(bi[0], bk[0]))
+            ih = max(0.0, min(bi[3], bk[3]) - max(bi[1], bk[1]))
+            inter = iw * ih
+            a_i = (bi[2] - bi[0]) * (bi[3] - bi[1])
+            a_k = (bk[2] - bk[0]) * (bk[3] - bk[1])
+            if inter / (a_i + a_k - inter) > iou_thres and best[k] <= best[i]:
+                sup.add(k)
+    keep = keep[:50]
+
+    assert count == len(keep)
+    np.testing.assert_allclose(dets[:count, :4], xyxy[keep], atol=1e-3)
+    np.testing.assert_allclose(dets[:count, 4], best[keep], atol=1e-5)
+    np.testing.assert_array_equal(dets[:count, 5].astype(int), j[keep])
+
+
+def test_nms_empty():
+    """No box above threshold → zero detections, zero-filled output."""
+    boxes = jnp.ones((1, 10, 4)) * 50
+    obj = jnp.zeros((1, 10))
+    cls = jnp.ones((1, 10, 3)) / 3
+    dets, count = batched_nms(boxes, obj, cls, conf_thres=0.3,
+                              iou_thres=0.4, max_det=8, max_nms=16)
+    assert int(count[0]) == 0
+    assert float(jnp.abs(dets).sum()) == 0.0
