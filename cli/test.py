@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Single-image detection CLI (argparse parity with the reference test.py).
+
+Usage:
+  python cli/test.py --data data/coco.data --weights weights/coco.npz \
+                     --img img/000139.jpg
+
+Unlike the reference (forward, then a python decode loop, then
+torchvision NMS — test.py:41-49), the whole image→boxes path is one
+jitted XLA program.  Boxes are rescaled to the original image size with
+the same non-aspect-preserving (h/H, w/W) factors (test.py:57-68).
+"""
+
+import argparse
+import os
+import time
+
+import _bootstrap  # noqa: F401
+import cv2
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", type=str, default="",
+                        help="Specify training profile *.data")
+    parser.add_argument("--weights", type=str, default="",
+                        help="The path of the model weights (.npz/.pth/dir)")
+    parser.add_argument("--img", type=str, default="",
+                        help="The path of test image")
+    parser.add_argument("--output", type=str, default="test_result.png")
+    parser.add_argument("--conf", type=float, default=0.3)
+    parser.add_argument("--nms", type=float, default=0.4)
+    opt = parser.parse_args()
+
+    from fastdet.config import Config, load_names
+    cfg = Config.from_file(opt.data)
+    assert os.path.exists(opt.weights), "invalid weights path"
+    assert os.path.exists(opt.img), "invalid test image path"
+
+    import jax
+    import jax.numpy as jnp
+    from fastdet.io import load_variables
+    from fastdet.models import Detector
+    from fastdet.ops.postprocess import build_detect_fn
+
+    model = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+    variables = jax.tree.map(jnp.asarray, load_variables(opt.weights))
+    detect = build_detect_fn(model, cfg, conf_thres=opt.conf,
+                             iou_thres=opt.nms)
+
+    ori_img = cv2.imread(opt.img)
+    res_img = cv2.resize(ori_img, (cfg.width, cfg.height),
+                         interpolation=cv2.INTER_LINEAR)
+    batch = jnp.asarray(res_img[None])
+
+    # compile, then time the fused inference
+    jax.block_until_ready(detect(variables, batch))
+    start = time.perf_counter()
+    dets, counts = jax.block_until_ready(detect(variables, batch))
+    end = time.perf_counter()
+    print("forward time:%fms" % ((end - start) * 1000.0))
+
+    from fastdet.config import resolve_path
+    names_path = resolve_path(cfg.names, opt.data)
+    names = load_names(names_path) if names_path and os.path.exists(names_path) \
+        else [str(i) for i in range(cfg.classes)]
+
+    h, w, _ = ori_img.shape
+    scale_h, scale_w = h / cfg.height, w / cfg.width
+
+    dets = np.asarray(dets[0][:int(counts[0])])
+    for box in dets.tolist():
+        obj_score = box[4]
+        category = names[int(box[5])]
+        x1, y1 = int(box[0] * scale_w), int(box[1] * scale_h)
+        x2, y2 = int(box[2] * scale_w), int(box[3] * scale_h)
+        cv2.rectangle(ori_img, (x1, y1), (x2, y2), (255, 255, 0), 2)
+        cv2.putText(ori_img, "%.2f" % obj_score, (x1, y1 - 5), 0, 0.7,
+                    (0, 255, 0), 2)
+        cv2.putText(ori_img, category, (x1, y1 - 25), 0, 0.7,
+                    (0, 255, 0), 2)
+        print(f"{category} {obj_score:.3f} [{x1},{y1},{x2},{y2}]")
+
+    cv2.imwrite(opt.output, ori_img)
+    print(f"saved {opt.output} ({len(dets)} detections)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Training CLI (argparse parity with the reference train.py).
+
+Behavioral parity: .data-driven config, finetune from `pre_weights` when
+the path exists, SGD m=0.949 wd=5e-4, quartic warmup over 5 epochs of
+batches + multistep ×0.1 decay, gradient accumulation via
+`subdivisions`, per-batch loss/LR progress line, and every 10th epoch an
+mAP + P/R/F1 evaluation with an AP-stamped weights save
+(weights/{name}-{epoch}-epoch-{ap}ap-model.npz).
+
+TPU-native differences: batches are sharded over a data mesh (all local
+devices) inside one jitted train step; checkpoints are orbax
+(params+opt_state+step, true resume) alongside the .npz weight export;
+`--resume` continues from the latest orbax checkpoint.
+"""
+
+import argparse
+import os
+import time
+
+import _bootstrap  # noqa: F401
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", type=str, default="",
+                        help="Specify training profile *.data")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest orbax checkpoint")
+    parser.add_argument("--ckpt_dir", type=str, default="checkpoints")
+    parser.add_argument("--weights_dir", type=str, default="weights")
+    parser.add_argument("--eval_every", type=int, default=10)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 activations in the forward pass")
+    opt = parser.parse_args()
+
+    from fastdet.config import Config
+    cfg = Config.from_file(opt.data)
+    print("train config:")
+    print(cfg.to_dict())
+
+    import jax
+    import jax.numpy as jnp
+    from fastdet.data import DarknetDataset, DataLoader, default_augment
+    from fastdet.eval.runner import evaluate
+    from fastdet.io import load_variables, save_checkpoint, load_checkpoint, latest_step
+    from fastdet.models import Detector
+    from fastdet.ops.postprocess import build_detect_fn
+    from fastdet.parallel.mesh import make_mesh, shard_batch
+    from fastdet.train.trainer import Trainer
+
+    train_ds = DarknetDataset(cfg.train, cfg.width, cfg.height,
+                              augment=default_augment)
+    val_ds = DarknetDataset(cfg.val, cfg.width, cfg.height, augment=None)
+
+    batch_size = int(cfg.batch_size / (cfg.subdivisions or 1))
+    nw = min(os.cpu_count() or 1, batch_size if batch_size > 1 else 1, 8)
+    train_loader = DataLoader(train_ds, batch_size, shuffle=True,
+                              drop_last=True, num_workers=nw)
+    val_loader_args = dict(batch_size=batch_size, shuffle=False,
+                           drop_last=False, num_workers=nw)
+
+    # DP mesh over as many devices as evenly divide the batch
+    import math
+    n_dp = math.gcd(len(jax.devices()), batch_size)
+    mesh = make_mesh(n_dp) if n_dp > 1 else None
+    if mesh is not None:
+        print(f"data-parallel mesh over {n_dp} devices")
+    model = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+    trainer = Trainer(model, cfg, steps_per_epoch=len(train_loader),
+                      mesh=mesh,
+                      compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+
+    # init / finetune / resume
+    if cfg.pre_weights and os.path.exists(cfg.pre_weights):
+        variables = load_variables(cfg.pre_weights)
+        print("Load finetune model param: %s" % cfg.pre_weights)
+    else:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, cfg.height, cfg.width, 3)),
+                               train=False)
+        print("Initialize weights randomly (no pre_weights)")
+    variables = jax.tree.map(jnp.asarray, variables)
+    state = trainer.init_state(variables)
+
+    start_epoch = 0
+    if opt.resume:
+        step = latest_step(opt.ckpt_dir)
+        if step is not None:
+            state = load_checkpoint(opt.ckpt_dir, step, target=state)
+            start_epoch = int(step)
+            print(f"Resumed from epoch {start_epoch}")
+
+    os.makedirs(opt.weights_dir, exist_ok=True)
+    detect_map = build_detect_fn(model, cfg, conf_thres=0.01, iou_thres=0.4)
+    detect_pr = build_detect_fn(model, cfg, conf_thres=0.3, iou_thres=0.4)
+
+    print("Starting training for %g epochs..." % cfg.epochs)
+    spe = len(train_loader)
+    for epoch in range(start_epoch, cfg.epochs):
+        t_epoch = time.time()
+        for i, (images, labels, mask) in enumerate(train_loader):
+            batch = (jnp.asarray(images), jnp.asarray(labels),
+                     jnp.asarray(mask))
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, metrics = trainer.step(state, *batch)
+            if i % 10 == 0 or i == spe - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                print("Epoch:%d %d/%d LR:%f CIou:%f Obj:%f Cls:%f Total:%f"
+                      % (epoch, i, spe, m["lr"], m["box"], m["obj"],
+                         m["cls"], m["total"]), flush=True)
+        print("epoch %d took %.1fs" % (epoch, time.time() - t_epoch))
+
+        if epoch % opt.eval_every == 0 and epoch > 0:
+            eval_vars = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+
+            def batches():
+                for im, lb, mk in DataLoader(val_ds, **val_loader_args):
+                    yield jnp.asarray(im), lb, mk
+
+            print("computer mAP...")
+            res_map = evaluate(detect_map, eval_vars, batches(),
+                               (cfg.height, cfg.width), progress=True)
+            print("computer PR...")
+            res_pr = evaluate(detect_pr, eval_vars, batches(),
+                              (cfg.height, cfg.width), progress=True)
+            ap = res_map[2] if res_map else 0.0
+            precision, recall, f1 = (res_pr[0], res_pr[1], res_pr[3]) \
+                if res_pr else (0.0, 0.0, 0.0)
+            print("Precision:%f Recall:%f AP:%f F1:%f"
+                  % (precision, recall, ap, f1))
+
+            # AP-stamped npz weights + orbax full-state checkpoint
+            out = os.path.join(
+                opt.weights_dir,
+                "%s-%d-epoch-%fap-model.npz" % (cfg.model_name, epoch, ap))
+            _save_npz(eval_vars, out)
+            print("saved", out)
+            save_checkpoint(opt.ckpt_dir, epoch, jax.device_get(state))
+
+    # final save
+    save_checkpoint(opt.ckpt_dir, cfg.epochs, jax.device_get(state))
+    _save_npz({"params": state.params, "batch_stats": state.batch_stats},
+              os.path.join(opt.weights_dir,
+                           "%s-final-model.npz" % cfg.model_name))
+
+
+def _save_npz(variables, path):
+    import jax
+    flat = {}
+
+    def rec(tree, prefix):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                rec(v, prefix + (k,))
+            else:
+                flat["/".join(prefix + (k,))] = np.asarray(v)
+
+    rec(jax.device_get(variables), ())
+    np.savez(path, **flat)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,20 @@ def load_names(names_path: str) -> List[str]:
         return [line.strip() for line in f.readlines()]
 
 
+def resolve_path(path: Optional[str], data_path: str) -> Optional[str]:
+    """Resolve a path from a `.data` file.  Relative paths are tried
+    against the cwd (reference behavior), then against the .data file's
+    directory and its parent (so configs work from any cwd)."""
+    if path is None or os.path.isabs(path) or os.path.exists(path):
+        return path
+    base = os.path.dirname(os.path.abspath(data_path))
+    for root in (base, os.path.dirname(base)):
+        cand = os.path.normpath(os.path.join(root, path))
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
 @dataclasses.dataclass(frozen=True)
 class Config:
     """Typed view over the `.data` dict; hashable so it can be a static jit arg."""

@@ -1,0 +1,118 @@
+"""CLI end-to-end smoke tests (subprocess, CPU backend).
+
+These drive the argparse front-ends exactly as a user would, on a tiny
+synthetic Darknet dataset (and the reference golden image where
+available)."""
+
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+from tests.conftest import COCO_DATA, GOLDEN_IMG, requires_reference
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = os.path.join(REPO, "cli")
+
+
+def run_cli(script, *args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    return subprocess.run(
+        [sys.executable, os.path.join(CLI, script), *args],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=REPO)
+
+
+@pytest.fixture(scope="module")
+def tiny_world(tmp_path_factory):
+    """Synthetic dataset + .data/.names config for a tiny 3-class model."""
+    root = tmp_path_factory.mktemp("world")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(6):
+        img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+        p = root / f"im{i}.jpg"
+        cv2.imwrite(str(p), img)
+        (root / f"im{i}.txt").write_text(
+            f"{i % 3} 0.5 0.5 0.4 0.4\n{(i + 1) % 3} 0.25 0.25 0.2 0.2\n")
+        paths.append(str(p))
+    (root / "train.txt").write_text("\n".join(paths) + "\n")
+    (root / "val.txt").write_text("\n".join(paths[:3]) + "\n")
+    (root / "tiny.names").write_text("aaa\nbbb\nccc\n")
+    (root / "tiny.data").write_text(
+        "[name]\nmodel_name=tiny\n\n[train-configure]\nepochs=1\n"
+        "steps=100,200\nbatch_size=3\nsubdivisions=1\nlearning_rate=0.001\n"
+        "\n[model-configure]\npre_weights=None\nclasses=3\nwidth=64\n"
+        "height=64\nanchor_num=3\n"
+        "anchors=5.2,6.1, 9.3,10.4, 14.5,18.6, 22.7,20.8, 30.9,28.1, 44.2,40.3\n"
+        "\n[data-configure]\n"
+        f"train={root}/train.txt\nval={root}/val.txt\n"
+        f"names={root}/tiny.names\n")
+    return root
+
+
+@requires_reference
+def test_cli_test_golden_image(tmp_path):
+    out = str(tmp_path / "res.png")
+    r = run_cli("test.py", "--data", COCO_DATA,
+                "--weights", os.path.join(REPO, "weights/coco2017-ref.npz"),
+                "--img", GOLDEN_IMG, "--output", out)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "forward time" in r.stdout
+    assert "person" in r.stdout       # golden image contains a person
+    assert os.path.exists(out)
+    assert cv2.imread(out) is not None
+
+
+def test_cli_genanchors(tiny_world, tmp_path):
+    r = run_cli("genanchors.py", "--traintxt", str(tiny_world / "train.txt"),
+                "--output_dir", str(tmp_path), "--num_clusters", "4",
+                "--input_width", "64", "--input_height", "64",
+                "--seed", "0")
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = tmp_path / "anchors4.txt"
+    assert out.exists()
+    lines = out.read_text().strip().split("\n")
+    pairs = lines[0].replace(", ", ";").split(";")
+    assert len(pairs) == 4
+    widths = [float(p.split(",")[0]) for p in pairs]
+    assert widths == sorted(widths)
+    assert 0 < float(lines[1]) <= 1
+
+
+def test_cli_train_and_eval(tiny_world, tmp_path):
+    """One epoch of training on the tiny dataset, then evaluation with the
+    saved weights — the full user workflow end-to-end."""
+    wdir = str(tmp_path / "w")
+    cdir = str(tmp_path / "c")
+    r = run_cli("train.py", "--data", str(tiny_world / "tiny.data"),
+                "--weights_dir", wdir, "--ckpt_dir", cdir)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Starting training" in r.stdout
+    assert "Total:" in r.stdout
+    final = os.path.join(wdir, "tiny-final-model.npz")
+    assert os.path.exists(final)
+
+    r2 = run_cli("evaluation.py", "--data", str(tiny_world / "tiny.data"),
+                 "--weights", final)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert ("Precision:" in r2.stdout
+            or "No detections" in r2.stdout), r2.stdout
+
+
+def test_cli_export(tiny_world, tmp_path):
+    """Train-less export path: random init would need weights; reuse the
+    converted reference weights only when present, else skip."""
+    npz = os.path.join(REPO, "weights/coco2017-ref.npz")
+    if not os.path.exists(npz):
+        pytest.skip("no converted weights available")
+    out = str(tmp_path / "m.stablehlo")
+    r = run_cli("export.py", "--data", COCO_DATA, "--weights", npz,
+                "--output", out)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.getsize(out) > 100_000
