@@ -15,7 +15,7 @@ Capability parity with /root/reference/model/detector.py:7-47:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,19 +30,23 @@ class Detector(nn.Module):
     anchor_num: int = 3
     out_depth: int = 72
     stage_out_channels: Tuple[int, ...] = (-1, 24, 48, 96, 192)
+    dtype: Any = jnp.float32  # compute dtype (bf16 for serving/training
+                              # speed); params always fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False, deploy: bool = False):
-        C2, C3 = ShuffleNetV2(self.stage_out_channels, name="backbone")(x, train)
+        x = x.astype(self.dtype)
+        C2, C3 = ShuffleNetV2(self.stage_out_channels, dtype=self.dtype,
+                              name="backbone")(x, train)
         cls_2, obj_2, reg_2, cls_3, obj_3, reg_3 = LightFPN(
-            self.out_depth, name="fpn")(C2, C3, train)
+            self.out_depth, dtype=self.dtype, name="fpn")(C2, C3, train)
 
         head_reg = nn.Conv(4 * self.anchor_num, (1, 1), use_bias=True,
-                           name="output_reg")
+                           dtype=self.dtype, name="output_reg")
         head_obj = nn.Conv(self.anchor_num, (1, 1), use_bias=True,
-                           name="output_obj")
+                           dtype=self.dtype, name="output_obj")
         head_cls = nn.Conv(self.classes, (1, 1), use_bias=True,
-                           name="output_cls")
+                           dtype=self.dtype, name="output_cls")
 
         out_reg_2, out_obj_2, out_cls_2 = head_reg(reg_2), head_obj(obj_2), head_cls(cls_2)
         out_reg_3, out_obj_3, out_cls_3 = head_reg(reg_3), head_obj(obj_3), head_cls(cls_3)

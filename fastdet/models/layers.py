@@ -11,7 +11,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -28,6 +28,7 @@ class ConvBN(nn.Module):
     stride: int = 1
     groups: int = 1
     relu: bool = True
+    dtype: Any = jnp.float32  # compute dtype; params stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,12 +40,14 @@ class ConvBN(nn.Module):
             padding=((pad[0], pad[0]), (pad[1], pad[1])),
             feature_group_count=self.groups,
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=self.dtype,
             name="bn",
         )(x)
         if self.relu:
@@ -62,16 +65,20 @@ class DWConvBlock(nn.Module):
 
     features: int
     kernel: int = 5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = (self.kernel, self.kernel)
+        d = self.dtype
         x = ConvBN(self.features, k, groups=self.features, relu=True,
-                   name="dw1")(x, train)
-        x = ConvBN(self.features, (1, 1), relu=False, name="pw1")(x, train)
+                   dtype=d, name="dw1")(x, train)
+        x = ConvBN(self.features, (1, 1), relu=False, dtype=d,
+                   name="pw1")(x, train)
         x = ConvBN(self.features, k, groups=self.features, relu=True,
-                   name="dw2")(x, train)
-        x = ConvBN(self.features, (1, 1), relu=False, name="pw2")(x, train)
+                   dtype=d, name="dw2")(x, train)
+        x = ConvBN(self.features, (1, 1), relu=False, dtype=d,
+                   name="pw2")(x, train)
         return x
 
 

@@ -14,7 +14,7 @@ stride-16 and stride-32 feature maps returned), rebuilt TPU-first:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -36,18 +36,22 @@ class ShuffleV2Block(nn.Module):
     mid: int           # main-branch hidden width
     ksize: int = 3
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.stride in (1, 2)
         out_main = self.oup - self.inp
         k = (self.ksize, self.ksize)
+        d = self.dtype
 
         def branch_main(y):
-            y = ConvBN(self.mid, (1, 1), relu=True, name="main_pw")(y, train)
+            y = ConvBN(self.mid, (1, 1), relu=True, dtype=d,
+                       name="main_pw")(y, train)
             y = ConvBN(self.mid, k, stride=self.stride, groups=self.mid,
-                       relu=False, name="main_dw")(y, train)
-            y = ConvBN(out_main, (1, 1), relu=True, name="main_pw_linear")(y, train)
+                       relu=False, dtype=d, name="main_dw")(y, train)
+            y = ConvBN(out_main, (1, 1), relu=True, dtype=d,
+                       name="main_pw_linear")(y, train)
             return y
 
         if self.stride == 1:
@@ -57,8 +61,9 @@ class ShuffleV2Block(nn.Module):
 
         # stride 2: both branches see the full input
         proj = ConvBN(self.inp, k, stride=2, groups=self.inp, relu=False,
-                      name="proj_dw")(x, train)
-        proj = ConvBN(self.inp, (1, 1), relu=True, name="proj_pw")(proj, train)
+                      dtype=d, name="proj_dw")(x, train)
+        proj = ConvBN(self.inp, (1, 1), relu=True, dtype=d,
+                      name="proj_pw")(proj, train)
         return jnp.concatenate([proj, branch_main(x)], axis=-1)
 
 
@@ -71,11 +76,13 @@ class ShuffleNetV2(nn.Module):
 
     stage_out_channels: Sequence[int] = (-1, 24, 48, 96, 192)
     stage_repeats: Sequence[int] = (4, 8, 4)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         stem = self.stage_out_channels[1]
-        x = ConvBN(stem, (3, 3), stride=2, relu=True, name="first_conv")(x, train)
+        x = ConvBN(stem, (3, 3), stride=2, relu=True, dtype=self.dtype,
+                   name="first_conv")(x, train)
         # 3×3 stride-2 maxpool, pad 1 (≙ nn.MaxPool2d(3, 2, 1))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -88,11 +95,13 @@ class ShuffleNetV2(nn.Module):
                     x = ShuffleV2Block(
                         inp=input_channel, oup=output_channel,
                         mid=output_channel // 2, ksize=3, stride=2,
+                        dtype=self.dtype,
                         name=f"stage{idxstage + 2}_{i}")(x, train)
                 else:
                     x = ShuffleV2Block(
                         inp=input_channel // 2, oup=output_channel,
                         mid=output_channel // 2, ksize=3, stride=1,
+                        dtype=self.dtype,
                         name=f"stage{idxstage + 2}_{i}")(x, train)
                 input_channel = output_channel
             feats.append(x)

@@ -121,3 +121,23 @@ def test_nms_empty():
                               iou_thres=0.4, max_det=8, max_nms=16)
     assert int(count[0]) == 0
     assert float(jnp.abs(dets).sum()) == 0.0
+
+
+@requires_reference
+def test_golden_image_bf16_serving(ref_variables, coco_cfg, golden_batch):
+    """The bf16 serving configuration (bench.py's) finds the same objects
+    with scores within bf16 tolerance of the fp32 path."""
+    import jax.numpy as jnp
+    model32 = Detector(classes=80, anchor_num=3)
+    model16 = Detector(classes=80, anchor_num=3, dtype=jnp.bfloat16)
+    d32 = build_detect_fn(model32, coco_cfg, conf_thres=0.3, iou_thres=0.4)
+    d16 = build_detect_fn(model16, coco_cfg, conf_thres=0.3, iou_thres=0.4,
+                          max_nms=256)
+    dets32, n32 = d32(ref_variables, jnp.asarray(golden_batch))
+    dets16, n16 = d16(ref_variables, jnp.asarray(golden_batch))
+    n32, n16 = int(n32[0]), int(n16[0])
+    assert n16 == n32
+    a, b = np.asarray(dets32[0][:n32]), np.asarray(dets16[0][:n16])
+    np.testing.assert_array_equal(a[:, 5], b[:, 5])        # same classes
+    np.testing.assert_allclose(a[:, :4], b[:, :4], atol=4.0)  # boxes ±4px
+    np.testing.assert_allclose(a[:, 4], b[:, 4], atol=0.05)   # scores
