@@ -1,0 +1,173 @@
+"""BN folding + weight packing for the fused Pallas inference path.
+
+Folds every Conv+BN pair of the trained model into a single affine conv
+(W' = W·γ/√(σ²+ε), b' = β − μ·γ/√(σ²+ε)) and packs the results in the
+shapes the Pallas kernels consume:
+
+  * pointwise convs   → (Cin, Cout) matrices
+  * depthwise convs   → (kh, kw, C)
+  * stride-1 shuffle blocks additionally get the channel de-interleave
+    folded into their first matmul (odd-channel selection is a weight-row
+    gather) and 0/1 placement matrices that implement the passthrough /
+    concat as MXU matmuls — Mosaic has no strided lane slicing, and on
+    the MXU these selection matmuls are effectively free.
+
+All packing is host-side numpy, done once at build time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+_EPS = 1e-5
+
+
+def _fold(params: dict, stats: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """ConvBN submodule → (folded HWIO kernel, per-out-channel bias)."""
+    w = np.asarray(params["conv"]["kernel"], np.float32)   # HWIO
+    gamma = np.asarray(params["bn"]["scale"], np.float32)
+    beta = np.asarray(params["bn"]["bias"], np.float32)
+    mean = np.asarray(stats["bn"]["mean"], np.float32)
+    var = np.asarray(stats["bn"]["var"], np.float32)
+    s = gamma / np.sqrt(var + _EPS)
+    return w * s, beta - mean * s
+
+
+def _fold_pw(params, stats) -> Tuple[np.ndarray, np.ndarray]:
+    w, b = _fold(params, stats)          # (1,1,Cin,Cout)
+    return w[0, 0], b                    # (Cin, Cout)
+
+
+def _fold_dw(params, stats) -> Tuple[np.ndarray, np.ndarray]:
+    w, b = _fold(params, stats)          # (kh,kw,1,C)
+    return w[:, :, 0, :], b              # (kh,kw,C)
+
+
+def _sel_odd(c: int) -> np.ndarray:
+    s = np.zeros((c, c // 2), np.float32)
+    s[np.arange(1, c, 2), np.arange(c // 2)] = 1.0
+    return s
+
+
+def _place(c_half: int, c: int, offset: int) -> np.ndarray:
+    """(c_half, c) matrix placing a half-width tensor at column offset."""
+    p = np.zeros((c_half, c), np.float32)
+    p[np.arange(c_half), offset + np.arange(c_half)] = 1.0
+    return p
+
+
+def pack_s1_block(params: dict, stats: dict, c: int) -> Dict[str, np.ndarray]:
+    """Stride-1 ShuffleV2 block → fused-kernel weight dict.
+
+    Channel semantics folded in: even channels pass through to output
+    columns [0, c/2); main branch consumes odd channels and lands at
+    columns [c/2, c).
+    """
+    mid = c // 2
+    w1, b1 = _fold_pw(params["main_pw"], stats["main_pw"])
+    wd, bd = _fold_dw(params["main_dw"], stats["main_dw"])
+    w2, b2 = _fold_pw(params["main_pw_linear"], stats["main_pw_linear"])
+    sel_even = np.zeros((c, mid), np.float32)
+    sel_even[np.arange(0, c, 2), np.arange(mid)] = 1.0
+    return {
+        "w1": _sel_odd(c) @ w1,            # (c, mid): select odd + pw
+        "b1": b1,
+        "wd": wd, "bd": bd,                # (3,3,mid)
+        "w2": w2, "b2": b2,                # (mid, mid)
+        "p_pass": sel_even @ _place(mid, c, 0),   # (c, c)
+        "p_main": _place(mid, c, mid),            # (mid, c)
+    }
+
+
+def pack_s2_block(params: dict, stats: dict, cin: int, cout: int
+                  ) -> Dict[str, np.ndarray]:
+    """Stride-2 ShuffleV2 block (kept for completeness; the orchestrator
+    currently runs these in XLA)."""
+    mid = cout // 2
+    out_main = cout - cin
+    w1, b1 = _fold_pw(params["main_pw"], stats["main_pw"])
+    wd, bd = _fold_dw(params["main_dw"], stats["main_dw"])
+    w2, b2 = _fold_pw(params["main_pw_linear"], stats["main_pw_linear"])
+    wpd, bpd = _fold_dw(params["proj_dw"], stats["proj_dw"])
+    wpp, bpp = _fold_pw(params["proj_pw"], stats["proj_pw"])
+    return {"w1": w1, "b1": b1, "wd": wd, "bd": bd, "w2": w2, "b2": b2,
+            "wpd": wpd, "bpd": bpd, "wpp": wpp, "bpp": bpp,
+            "p_proj": _place(cin, cout, 0),
+            "p_main": _place(out_main, cout, cin)}
+
+
+def pack_dwconvblock(params: dict, stats: dict) -> Dict[str, np.ndarray]:
+    """Head DWConvBlock: dw5 + pw + dw5 + pw (second pw un-ReLU'd)."""
+    out = {}
+    for name in ("dw1", "pw1", "dw2", "pw2"):
+        if name.startswith("dw"):
+            w, b = _fold_dw(params[name], stats[name])
+        else:
+            w, b = _fold_pw(params[name], stats[name])
+        out[f"{name}_w"] = w
+        out[f"{name}_b"] = b
+    return out
+
+
+def pack_convbn_pw(params: dict, stats: dict) -> Dict[str, np.ndarray]:
+    w, b = _fold_pw(params, stats)
+    return {"w": w, "b": b}
+
+
+def pack_head_conv(params: dict) -> Dict[str, np.ndarray]:
+    """Plain 1×1 conv with bias (detector output heads, no BN)."""
+    return {"w": np.asarray(params["kernel"], np.float32)[0, 0],
+            "b": np.asarray(params["bias"], np.float32)}
+
+
+def pack_fused_weights(variables: dict, dtype=np.float32) -> Dict[str, Any]:
+    """Pack everything the fused inference path needs from a variables
+    pytree.  Returns a flat dict of numpy arrays (a valid jit argument
+    pytree — weights are ALWAYS runtime args, never baked constants)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    bb_p, bb_s = params["backbone"], stats["backbone"]
+    packed: Dict[str, Any] = {}
+
+    # stem (3×3 s2 conv stays HWIO for lax.conv) + stride-2 blocks
+    w, b = _fold(bb_p["first_conv"], bb_s["first_conv"])
+    packed["stem_w"] = w
+    packed["stem_b"] = b
+    stage_cin = {2: 24, 3: 48, 4: 96}
+    for stage, cout in ((2, 48), (3, 96), (4, 192)):
+        blk = pack_s2_block(bb_p[f"stage{stage}_0"], bb_s[f"stage{stage}_0"],
+                            stage_cin[stage], cout)
+        for k, v in blk.items():
+            packed[f"s{stage}_0_{k}"] = v
+
+    # stride-1 spans of each stage (block 0 of each stage is stride-2)
+    stage_channels = {2: 48, 3: 96, 4: 192}
+    stage_repeats = {2: 4, 3: 8, 4: 4}
+    for stage, reps in stage_repeats.items():
+        c = stage_channels[stage]
+        for i in range(1, reps):
+            blk = pack_s1_block(bb_p[f"stage{stage}_{i}"],
+                                bb_s[f"stage{stage}_{i}"], c)
+            for k, v in blk.items():
+                packed[f"s{stage}_{i}_{k}"] = v
+
+    fpn_p, fpn_s = params["fpn"], stats["fpn"]
+    for name in ("conv1x1_2", "conv1x1_3"):
+        pw = pack_convbn_pw(fpn_p[name], fpn_s[name])
+        packed[f"{name}_w"] = pw["w"]
+        packed[f"{name}_b"] = pw["b"]
+    for head in ("cls_head_2", "reg_head_2", "cls_head_3", "reg_head_3"):
+        blk = pack_dwconvblock(fpn_p[head], fpn_s[head])
+        for k, v in blk.items():
+            packed[f"{head}_{k}"] = v
+
+    for out in ("output_reg", "output_obj", "output_cls"):
+        hc = pack_head_conv(params[out])
+        packed[f"{out}_w"] = hc["w"]
+        packed[f"{out}_b"] = hc["b"]
+
+    if dtype is not np.float32:
+        packed = {k: v.astype(dtype) for k, v in packed.items()}
+    return packed

@@ -1,0 +1,64 @@
+"""Fused Pallas inference path: numeric parity with the linen model.
+
+Runs in Pallas interpret mode on CPU (same kernel code that Mosaic
+compiles on TPU; the TPU compile/run was validated on hardware)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdet.kernels.fold import pack_fused_weights
+from fastdet.kernels.fused_infer import build_fused_forward
+from fastdet.models import Detector
+from tests.conftest import requires_reference
+
+
+@requires_reference
+def test_fused_forward_matches_linen(ref_variables):
+    model = Detector(classes=80, anchor_num=3)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 255, (2, 352, 352, 3), np.uint8))
+    ref = model.apply(ref_variables, img.astype(jnp.float32) / 255.0,
+                      train=False)
+    fwd, packed = build_fused_forward(ref_variables, dtype=jnp.float32,
+                                      interpret=True)
+    outs = fwd(img, packed)
+    for i, (a, b) in enumerate(zip(ref, outs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=f"output {i}")
+
+
+def test_bn_fold_random_model():
+    """BN folding alone (weight packing) reproduces eval-mode ConvBN."""
+    from fastdet.kernels.fold import _fold_pw, _fold_dw
+    from fastdet.models.layers import ConvBN
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+
+    m = ConvBN(16, (1, 1), relu=False)
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    # give BN non-trivial stats
+    v = jax.tree.map(lambda a: a, v)
+    stats = {"bn": {"mean": jnp.asarray(rng.randn(16), jnp.float32),
+                    "var": jnp.abs(jnp.asarray(rng.randn(16), jnp.float32)) + 0.5}}
+    params = {"conv": v["params"]["conv"],
+              "bn": {"scale": jnp.asarray(rng.randn(16), jnp.float32),
+                     "bias": jnp.asarray(rng.randn(16), jnp.float32)}}
+    ref = m.apply({"params": params, "batch_stats": stats}, x, False)
+
+    w, b = _fold_pw(params, stats)
+    ours = x @ jnp.asarray(w) + jnp.asarray(b)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(ours), atol=1e-5)
+
+    md = ConvBN(16, (3, 3), groups=16, relu=False)
+    vd = md.init(jax.random.PRNGKey(1), x, False)
+    paramsd = {"conv": vd["params"]["conv"], "bn": params["bn"]}
+    refd = md.apply({"params": paramsd, "batch_stats": stats}, x, False)
+    wd, bd = _fold_dw(paramsd, stats)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = sum(xp[:, dy:dy + 8, dx:dx + 8, :] * jnp.asarray(wd)[dy, dx]
+              for dy in range(3) for dx in range(3)) + jnp.asarray(bd)
+    np.testing.assert_allclose(np.asarray(refd), np.asarray(acc), atol=1e-5)
