@@ -1,0 +1,60 @@
+/* fastdet native host runtime — C API.
+ *
+ * TPU-native counterpart of the reference's ncnn C++ deployment lib
+ * (/root/reference/sample/ncnn/src/yolo-fastestv2.{h,cpp}): the TPU runs
+ * the exported deploy graph (activations baked in, NHWC per-scale maps);
+ * this library provides the host half of the serving pipeline —
+ * image decode + resize into input tensors, and anchor decode + NMS from
+ * the deploy maps back to boxes — in C++ with OpenMP, callable from C,
+ * C++, or Python (ctypes).
+ */
+#ifndef FASTDET_NATIVE_H_
+#define FASTDET_NATIVE_H_
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct {
+  float x1, y1, x2, y2; /* pixels in model-input coordinates */
+  float score;          /* obj * best-class probability */
+  int cls;
+} FDBox;
+
+/* Decode + NMS over a batch of two-scale deploy output maps.
+ *
+ * s16 / s32: NHWC float maps (B, h, w, 4*anchor_num + anchor_num +
+ * classes) with sigmoid (reg, obj) and softmax (cls) already applied by
+ * the exported graph.  anchors: 2 scales * anchor_num * 2 floats, pixel
+ * units, stride-16 scale first.  out must hold B*max_det FDBox; counts
+ * must hold B ints.  Returns 0 on success.
+ */
+int fd_postprocess(const float* s16, const float* s32, int batch,
+                   int h16, int w16, int h32, int w32, int anchor_num,
+                   int classes, const float* anchors, int input_w,
+                   int input_h, float conf_thres, float iou_thres,
+                   int max_det, FDBox* out, int* counts);
+
+/* Decode JPEG/PNG files and bilinear-resize (OpenCV INTER_LINEAR
+ * geometry: src = (dst + 0.5) * scale - 0.5, no letterbox) into a packed
+ * uint8 NHWC tensor.  channels_bgr!=0 emits BGR (cv2 convention).
+ * Parallel over images (OpenMP).  Returns 0 on success, else the 1-based
+ * index of the first file that failed to load.
+ */
+int fd_preprocess_batch(const char** paths, int n, int dst_w, int dst_h,
+                        int channels_bgr, uint8_t* out);
+
+/* Bilinear-resize a raw uint8 HWC image (any channel count up to 4). */
+void fd_resize_bilinear(const uint8_t* src, int sh, int sw, int ch,
+                        uint8_t* dst, int dh, int dw);
+
+/* Library version tag (for the ctypes wrapper to sanity check). */
+int fd_version(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* FASTDET_NATIVE_H_ */

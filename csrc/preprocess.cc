@@ -1,0 +1,164 @@
+// Host-side image pipeline: JPEG/PNG decode + bilinear resize, OpenMP
+// parallel over a batch.  This is the native data-loader counterpart of
+// the reference's per-sample cv2 pipeline (utils/datasets.py:105-110):
+// BGR channel order, OpenCV INTER_LINEAR sample geometry
+// (src = (dst + 0.5) * scale - 0.5), no letterboxing.
+
+#include "fastdet_native.h"
+
+#include <cstdio>  // jpeglib.h needs FILE declared before inclusion
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+// Decodes a JPEG into RGB HWC uint8; returns true on success.
+bool decode_jpeg(FILE* f, std::vector<uint8_t>* rgb, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  rgb->resize((size_t)(*w) * (*h) * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowp = rgb->data() + (size_t)cinfo.output_scanline * (*w) * 3;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(FILE* f, std::vector<uint8_t>* rgb, int* h, int* w) {
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  png_set_expand(png);           // palette/gray/tRNS → 8-bit RGB(A)
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  rgb->resize((size_t)(*w) * (*h) * 3);
+  std::vector<png_bytep> rows(*h);
+  for (int y = 0; y < *h; ++y)
+    rows[y] = rgb->data() + (size_t)y * (*w) * 3;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool load_image_rgb(const char* path, std::vector<uint8_t>* rgb, int* h,
+                    int* w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  unsigned char magic[8] = {0};
+  size_t got = std::fread(magic, 1, 8, f);
+  std::rewind(f);
+  bool ok = false;
+  if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(f, rgb, h, w);
+  } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    ok = decode_png(f, rgb, h, w);
+  }
+  std::fclose(f);
+  return ok;
+}
+
+}  // namespace
+
+extern "C" void fd_resize_bilinear(const uint8_t* src, int sh, int sw,
+                                   int ch, uint8_t* dst, int dh, int dw) {
+  const float sy = (float)sh / dh;
+  const float sx = (float)sw / dw;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)std::floor(fy);
+    float wy = fy - y0;
+    int y1 = y0 + 1;
+    y0 = std::clamp(y0, 0, sh - 1);
+    y1 = std::clamp(y1, 0, sh - 1);
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = (int)std::floor(fx);
+      float wx = fx - x0;
+      int x1 = x0 + 1;
+      x0 = std::clamp(x0, 0, sw - 1);
+      x1 = std::clamp(x1, 0, sw - 1);
+      const uint8_t* p00 = src + ((size_t)y0 * sw + x0) * ch;
+      const uint8_t* p01 = src + ((size_t)y0 * sw + x1) * ch;
+      const uint8_t* p10 = src + ((size_t)y1 * sw + x0) * ch;
+      const uint8_t* p11 = src + ((size_t)y1 * sw + x1) * ch;
+      uint8_t* o = dst + ((size_t)y * dw + x) * ch;
+      for (int c = 0; c < ch; ++c) {
+        const float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
+                        wy * ((1 - wx) * p10[c] + wx * p11[c]);
+        o[c] = (uint8_t)std::lround(std::clamp(v, 0.f, 255.f));
+      }
+    }
+  }
+}
+
+extern "C" int fd_preprocess_batch(const char** paths, int n, int dst_w,
+                                   int dst_h, int channels_bgr,
+                                   uint8_t* out) {
+  int first_fail = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    std::vector<uint8_t> rgb;
+    int h = 0, w = 0;
+    if (!load_image_rgb(paths[i], &rgb, &h, &w)) {
+#pragma omp critical
+      if (first_fail == 0 || i + 1 < first_fail) first_fail = i + 1;
+      continue;
+    }
+    if (channels_bgr) {
+      for (size_t p = 0; p < rgb.size(); p += 3)
+        std::swap(rgb[p], rgb[p + 2]);
+    }
+    fd_resize_bilinear(rgb.data(), h, w, 3,
+                       out + (size_t)i * dst_h * dst_w * 3, dst_h, dst_w);
+  }
+  return first_fail;
+}

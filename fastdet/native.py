@@ -1,0 +1,115 @@
+"""ctypes bridge to the C++ host runtime (csrc/ → build/libfastdet_native.so).
+
+Provides:
+  * `preprocess_batch` — parallel JPEG/PNG decode + cv2-geometry bilinear
+    resize straight into a pinned NHWC uint8 batch (native data loader)
+  * `postprocess` — anchor decode + class-aware NMS from deploy-mode
+    output maps (native serving postprocess, the ncnn-lib counterpart)
+
+The shared library is built on demand with `make` (g++ -O3 -fopenmp).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "build", "libfastdet_native.so")
+_CSRC = os.path.join(_REPO, "csrc")
+
+_lib = None
+
+
+class FDBox(ctypes.Structure):
+    _fields_ = [("x1", ctypes.c_float), ("y1", ctypes.c_float),
+                ("x2", ctypes.c_float), ("y2", ctypes.c_float),
+                ("score", ctypes.c_float), ("cls", ctypes.c_int)]
+
+
+def build_native(force: bool = False) -> str:
+    """Compile the shared library if missing; returns its path."""
+    if force or not os.path.exists(_SO):
+        subprocess.run(["make", "-C", _CSRC,
+                        f"BUILD={os.path.join(_REPO, 'build')}"],
+                       check=True, capture_output=True, text=True)
+    return _SO
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        build_native()
+        _lib = ctypes.CDLL(_SO)
+        _lib.fd_postprocess.restype = ctypes.c_int
+        _lib.fd_preprocess_batch.restype = ctypes.c_int
+        _lib.fd_version.restype = ctypes.c_int
+        assert _lib.fd_version() == 1
+    return _lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def preprocess_batch(paths: Sequence[str], width: int = 352,
+                     height: int = 352, bgr: bool = True) -> np.ndarray:
+    """Decode + resize a batch of image files → (N,H,W,3) uint8."""
+    lib = _load()
+    n = len(paths)
+    out = np.empty((n, height, width, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.fd_preprocess_batch(
+        arr, n, width, height, 1 if bgr else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise IOError(f"failed to load image: {paths[rc - 1]}")
+    return out
+
+
+def postprocess(s16: np.ndarray, s32: np.ndarray, anchors: np.ndarray,
+                input_hw: Tuple[int, int] = (352, 352),
+                conf_thres: float = 0.3, iou_thres: float = 0.45,
+                max_det: int = 300) -> List[np.ndarray]:
+    """Deploy maps (B,h,w,4A+A+nc) ×2 scales → per-image (n,6) arrays
+    [x1,y1,x2,y2,score,cls]."""
+    lib = _load()
+    s16 = np.ascontiguousarray(s16, np.float32)
+    s32 = np.ascontiguousarray(s32, np.float32)
+    b, h16, w16, ch = s16.shape
+    _, h32, w32, _ = s32.shape
+    anchors = np.ascontiguousarray(anchors, np.float32).reshape(-1)
+    anchor_num = anchors.size // 4
+    classes = ch - 5 * anchor_num
+
+    boxes = (FDBox * (b * max_det))()
+    counts = (ctypes.c_int * b)()
+    rc = lib.fd_postprocess(
+        s16.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b, h16, w16, h32, w32, anchor_num, classes,
+        anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        input_hw[1], input_hw[0],
+        ctypes.c_float(conf_thres), ctypes.c_float(iou_thres), max_det,
+        boxes, counts)
+    if rc != 0:
+        raise RuntimeError("fd_postprocess failed")
+
+    out = []
+    raw = np.ctypeslib.as_array(boxes)
+    f32 = raw.view(np.float32).reshape(b, max_det, 6)
+    i32 = raw.view(np.int32).reshape(b, max_det, 6)
+    for i in range(b):
+        n = counts[i]
+        rows = f32[i, :n].copy()
+        rows[:, 5] = i32[i, :n, 5]     # cls field carries int bits
+        out.append(rows)
+    return out

@@ -1,0 +1,72 @@
+"""Serving pipelines: device-fused and native-host-postprocess paths.
+
+Two deployment shapes, mirroring the reference's two inference paths
+(python chain vs ncnn C++ deployment):
+
+  * `DevicePipeline` — everything on-TPU in one XLA program (forward +
+    decode + NMS).  Lowest latency, fixed max_det.
+  * `HybridPipeline` — the exported deploy graph on TPU (activation maps
+    out), decode+NMS on host in the C++ runtime (OpenMP).  Matches the
+    ncnn-style split: useful when postprocess must be host-side
+    (dynamic det counts, custom filtering) and overlaps TPU/host work.
+
+Both consume raw uint8 NHWC image batches (the native preprocessor or
+the data pipeline produce them).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fastdet.config import Config
+
+
+class DevicePipeline:
+    def __init__(self, model, variables, cfg: Config, conf_thres=0.3,
+                 iou_thres=0.45, max_det=300, max_nms=256):
+        import jax
+        import jax.numpy as jnp
+        from fastdet.ops.postprocess import build_detect_fn
+        self._detect = build_detect_fn(model, cfg, conf_thres=conf_thres,
+                                       iou_thres=iou_thres, max_det=max_det,
+                                       max_nms=max_nms,
+                                       dtype=model.dtype)
+        self._variables = variables
+
+    def __call__(self, images_u8: np.ndarray) -> List[np.ndarray]:
+        import jax.numpy as jnp
+        dets, counts = self._detect(self._variables, jnp.asarray(images_u8))
+        dets, counts = np.asarray(dets), np.asarray(counts)
+        return [dets[i, :counts[i]] for i in range(len(counts))]
+
+
+class HybridPipeline:
+    def __init__(self, model, variables, cfg: Config, conf_thres=0.3,
+                 iou_thres=0.45, max_det=300):
+        import jax
+        import jax.numpy as jnp
+        self._cfg = cfg
+        self._conf = conf_thres
+        self._iou = iou_thres
+        self._max_det = max_det
+        self._anchors = np.asarray(cfg.anchors, np.float32)
+        self._variables = variables
+
+        @jax.jit
+        def deploy_fwd(variables, images):
+            x = images.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+            return model.apply(variables, x, train=False, deploy=True)
+
+        self._fwd = deploy_fwd
+
+    def __call__(self, images_u8: np.ndarray) -> List[np.ndarray]:
+        import jax.numpy as jnp
+        from fastdet import native
+        s2, s3 = self._fwd(self._variables, jnp.asarray(images_u8))
+        return native.postprocess(
+            np.asarray(s2, np.float32), np.asarray(s3, np.float32),
+            self._anchors, (self._cfg.height, self._cfg.width),
+            conf_thres=self._conf, iou_thres=self._iou,
+            max_det=self._max_det)

@@ -1,0 +1,115 @@
+"""C++ host runtime: build, preprocess parity vs cv2, postprocess parity
+vs the on-device chain, demo binary end-to-end."""
+
+import os
+import subprocess
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdet import native
+from fastdet.config import Config
+from fastdet.models import Detector
+from fastdet.ops.postprocess import build_detect_fn
+from tests.conftest import GOLDEN_IMG, requires_reference
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    if not native.available():
+        pytest.skip("native library failed to build")
+    return True
+
+
+def test_preprocess_matches_cv2(native_lib, tmp_path):
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (123, 200, 3), np.uint8)
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, img)
+
+    ours = native.preprocess_batch([p], 96, 64)[0]
+    ref = cv2.resize(cv2.imread(p), (96, 64),
+                     interpolation=cv2.INTER_LINEAR)
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 2 and (d > 1).mean() < 0.01
+
+
+def test_resize_identity(native_lib, tmp_path):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    p = str(tmp_path / "y.png")
+    cv2.imwrite(p, img)
+    out = native.preprocess_batch([p], 64, 64)[0]
+    np.testing.assert_array_equal(out, cv2.imread(p))
+
+
+def test_preprocess_missing_file(native_lib, tmp_path):
+    with pytest.raises(IOError):
+        native.preprocess_batch([str(tmp_path / "nope.jpg")], 32, 32)
+
+
+@requires_reference
+def test_postprocess_matches_device_chain(native_lib, ref_variables,
+                                          coco_cfg):
+    img = cv2.resize(cv2.imread(GOLDEN_IMG), (352, 352),
+                     interpolation=cv2.INTER_LINEAR)
+    model = Detector(classes=80, anchor_num=3)
+    batch = jnp.asarray(img[None])
+    s2, s3 = model.apply(ref_variables,
+                         batch.astype(jnp.float32) / 255.0,
+                         train=False, deploy=True)
+    nat = native.postprocess(np.asarray(s2), np.asarray(s3),
+                             np.asarray(coco_cfg.anchors, np.float32),
+                             conf_thres=0.3, iou_thres=0.4)[0]
+
+    detect = build_detect_fn(model, coco_cfg, conf_thres=0.3, iou_thres=0.4)
+    dets, counts = detect(ref_variables, batch)
+    dev = np.asarray(dets[0][:int(counts[0])])
+
+    assert len(nat) == len(dev)
+    np.testing.assert_allclose(nat[:, :5], dev[:, :5], atol=1e-2)
+    np.testing.assert_array_equal(nat[:, 5].astype(int),
+                                  dev[:, 5].astype(int))
+
+
+@requires_reference
+def test_demo_binary(native_lib, ref_variables, tmp_path):
+    img = cv2.resize(cv2.imread(GOLDEN_IMG), (352, 352),
+                     interpolation=cv2.INTER_LINEAR)
+    model = Detector(classes=80, anchor_num=3)
+    s2, s3 = model.apply(ref_variables,
+                         jnp.asarray(img[None]).astype(jnp.float32) / 255.0,
+                         train=False, deploy=True)
+    s16 = str(tmp_path / "s16.bin")
+    s32 = str(tmp_path / "s32.bin")
+    np.asarray(s2, np.float32)[0].tofile(s16)
+    np.asarray(s3, np.float32)[0].tofile(s32)
+    out = str(tmp_path / "out.ppm")
+
+    demo = os.path.join(REPO, "build", "fastdet_demo")
+    r = subprocess.run([demo, GOLDEN_IMG, s16, s32, out, "0.3", "0.4"],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "detections" in r.stdout
+    assert "cls=0" in r.stdout          # the golden image has a person
+    assert os.path.exists(out)
+
+
+@requires_reference
+def test_hybrid_pipeline(native_lib, ref_variables, coco_cfg):
+    from fastdet.serve import DevicePipeline, HybridPipeline
+    img = cv2.resize(cv2.imread(GOLDEN_IMG), (352, 352),
+                     interpolation=cv2.INTER_LINEAR)[None]
+    model = Detector(classes=80, anchor_num=3)
+    dev = DevicePipeline(model, ref_variables, coco_cfg, conf_thres=0.3,
+                         iou_thres=0.4)(img)
+    hyb = HybridPipeline(model, ref_variables, coco_cfg, conf_thres=0.3,
+                         iou_thres=0.4)(img)
+    assert len(dev[0]) == len(hyb[0])
+    np.testing.assert_allclose(dev[0][:, :5], hyb[0][:, :5], atol=1e-2)
