@@ -33,6 +33,13 @@ def main():
     parser.add_argument("--eval_every", type=int, default=10)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations in the forward pass")
+    parser.add_argument("--summary", action="store_true",
+                        help="print the model parameter table at startup")
+    parser.add_argument("--profile", type=str, default="",
+                        help="capture a jax.profiler trace of a few steps "
+                             "into this directory")
+    parser.add_argument("--logdir", type=str, default="",
+                        help="append per-step metrics to <logdir>/train.jsonl")
     opt = parser.parse_args()
 
     from fastdet.config import Config
@@ -82,7 +89,15 @@ def main():
                                train=False)
         print("Initialize weights randomly (no pre_weights)")
     variables = jax.tree.map(jnp.asarray, variables)
+    if opt.summary:
+        from fastdet.utils import summarize_model
+        print(summarize_model(model, variables,
+                              (1, cfg.height, cfg.width, 3)))
     state = trainer.init_state(variables)
+
+    from fastdet.utils import MetricsLogger, StepTimer, trace
+    mlog = MetricsLogger(opt.logdir or None, "train")
+    timer = StepTimer()
 
     start_epoch = 0
     if opt.resume:
@@ -105,13 +120,23 @@ def main():
                      jnp.asarray(mask))
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
-            state, metrics = trainer.step(state, *batch)
+            if opt.profile and epoch == start_epoch and i == 4:
+                with trace(opt.profile):
+                    state, metrics = trainer.step(state, *batch)
+                    jax.block_until_ready(metrics["total"])
+                print(f"profiler trace written to {opt.profile}")
+                continue
+            with timer:
+                state, metrics = trainer.step(state, *batch)
             if i % 10 == 0 or i == spe - 1:
                 m = {k: float(v) for k, v in metrics.items()}
+                mlog.log(int(state.step), m)
                 print("Epoch:%d %d/%d LR:%f CIou:%f Obj:%f Cls:%f Total:%f"
                       % (epoch, i, spe, m["lr"], m["box"], m["obj"],
                          m["cls"], m["total"]), flush=True)
-        print("epoch %d took %.1fs" % (epoch, time.time() - t_epoch))
+        ts = timer.summary()
+        print("epoch %d took %.1fs (step p50 %.1f ms)"
+              % (epoch, time.time() - t_epoch, ts.get("p50_ms", 0.0)))
 
         if epoch % opt.eval_every == 0 and epoch > 0:
             eval_vars = {"params": state.params,

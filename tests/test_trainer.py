@@ -111,3 +111,66 @@ def test_grad_accumulation_matches_large_batch():
         lambda a, b: float(jnp.abs(a - b).max()),
         s2.params, variables["params"]))
     assert max(d1) > 0.0
+
+
+def test_utils_profiling_and_logging(tmp_path):
+    """Model summary table, step timer, metrics JSONL."""
+    import json
+    from fastdet.models import Detector
+    from fastdet.utils import MetricsLogger, StepTimer, summarize_model
+
+    model = Detector(classes=4, anchor_num=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    table = summarize_model(model, variables, (1, 64, 64, 3))
+    assert "Trainable params" in table and "backbone" in table
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            pass
+    s = t.summary()
+    assert s["steps"] == 3 and "p50_ms" in s
+
+    log = MetricsLogger(str(tmp_path), "t")
+    log.log(1, {"total": 1.5, "lr": 0.001})
+    log.log(2, {"total": 1.2, "lr": 0.001}, kind="eval")
+    log.close()
+    recs = [json.loads(l) for l in open(log.path)]
+    assert len(recs) == 2 and recs[0]["total"] == 1.5
+    assert recs[1]["kind"] == "eval"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of the full train state (true resume — a
+    capability the reference lacks, SURVEY.md §5)."""
+    from fastdet.config import Config
+    from fastdet.io import load_checkpoint, latest_step, save_checkpoint
+    from fastdet.models import Detector
+    from fastdet.train.trainer import Trainer
+
+    cfg = Config.from_dict({
+        "classes": 2, "width": 32, "height": 32, "anchor_num": 3,
+        "anchors": [4.0, 6.0, 9.0, 12.0, 16.0, 24.0,
+                    24.0, 16.0, 32.0, 40.0, 52.0, 48.0],
+        "learning_rate": 0.01, "steps": [100], "subdivisions": 1,
+        "batch_size": 2, "epochs": 1})
+    model = Detector(classes=2, anchor_num=3)
+    trainer = Trainer(model, cfg, steps_per_epoch=1)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    state = trainer.init_state(variables)
+
+    images = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    labels = jnp.zeros((2, 4, 5))
+    mask = jnp.zeros((2, 4), bool)
+    state, _ = trainer.step(state, images, labels, mask)
+
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, 7, jax.device_get(state))
+    assert latest_step(ckpt) == 7
+    restored = load_checkpoint(ckpt, target=state)
+    assert int(restored.step) == int(state.step)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
