@@ -40,6 +40,10 @@ def main():
                              "into this directory")
     parser.add_argument("--logdir", type=str, default="",
                         help="append per-step metrics to <logdir>/train.jsonl")
+    parser.add_argument("--backbone", type=str, default="",
+                        help="ImageNet-pretrained backbone weights "
+                             "(.pth or .npz) to initialize from when not "
+                             "finetuning (reference backbone.pth role)")
     opt = parser.parse_args()
 
     from fastdet.config import Config
@@ -79,14 +83,30 @@ def main():
                       mesh=mesh,
                       compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
 
-    # init / finetune / resume
+    # init / finetune / resume.  pre_weights merges with strict=False
+    # semantics (reference train.py:76): matching tensors load, the rest
+    # (e.g. heads with a different class count) keep fresh init.
+    from fastdet.io import merge_variables
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, cfg.height, cfg.width, 3)),
+                           train=False)
     if cfg.pre_weights and os.path.exists(cfg.pre_weights):
-        variables = load_variables(cfg.pre_weights)
-        print("Load finetune model param: %s" % cfg.pre_weights)
+        pre = load_variables(cfg.pre_weights)
+        variables, n_load, n_keep = merge_variables(variables, pre)
+        print("Load finetune model param: %s (%d tensors loaded, %d fresh)"
+              % (cfg.pre_weights, n_load, n_keep))
+    elif opt.backbone and os.path.exists(opt.backbone):
+        from fastdet.io.torch_convert import load_torch_weights
+        bb = (load_torch_weights(opt.backbone, backbone_only=True)
+              if opt.backbone.endswith((".pth", ".pt"))
+              else load_variables(opt.backbone))
+        if "backbone" not in bb.get("params", {}):
+            bb = {"params": {"backbone": bb["params"]},
+                  "batch_stats": {"backbone": bb["batch_stats"]}}
+        variables, n_load, n_keep = merge_variables(variables, bb)
+        print("Initialize backbone from %s (%d tensors loaded)"
+              % (opt.backbone, n_load))
     else:
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, cfg.height, cfg.width, 3)),
-                               train=False)
         print("Initialize weights randomly (no pre_weights)")
     variables = jax.tree.map(jnp.asarray, variables)
     if opt.summary:

@@ -5,6 +5,6 @@ __all__ = [
     "save_checkpoint", "load_checkpoint", "latest_step",
     "convert_torch_checkpoint", "load_torch_weights",
 ]
-from fastdet.io.weights import load_variables  # noqa: E402
+from fastdet.io.weights import load_variables, merge_variables  # noqa: E402
 
-__all__.append("load_variables")
+__all__ += ["load_variables", "merge_variables"]

@@ -80,8 +80,11 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     params: dict = {}
     stats: dict = {}
 
+    # backbone_only trees have no "backbone" wrapper so they apply
+    # directly to a ShuffleNetV2 module; wrap them to merge into a
+    # Detector tree
     bb = "" if backbone_only else "backbone."
-    bb_path = ("backbone",)
+    bb_path = () if backbone_only else ("backbone",)
 
     _convbn(sd, f"{bb}first_conv.0", f"{bb}first_conv.1", params, stats,
             bb_path + ("first_conv",))

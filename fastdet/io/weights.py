@@ -1,8 +1,50 @@
-"""Unified weight loading: .npz (native), .pth (auto-converted), orbax dir."""
+"""Unified weight loading: .npz (native), .pth (auto-converted), orbax dir.
+
+Also provides `merge_variables` — the counterpart of the reference's
+finetune load with strict=False (train.py:76): pretrained tensors are
+grafted onto a freshly initialized tree wherever names AND shapes match
+(e.g. reusing a COCO backbone+FPN under a head with a different class
+count), everything else keeps its fresh initialization.
+"""
 
 from __future__ import annotations
 
 import os
+from typing import Tuple
+
+
+def merge_variables(init: dict, pretrained: dict) -> Tuple[dict, int, int]:
+    """Graft matching leaves of `pretrained` onto `init`.
+
+    Returns (merged, n_loaded, n_kept): counts of leaves taken from the
+    pretrained tree vs kept from the fresh init."""
+    import numpy as np
+
+    counts = [0, 0]
+
+    def rec(a, b):
+        if isinstance(a, dict):
+            out = {}
+            for k, v in a.items():
+                if isinstance(b, dict) and k in b:
+                    out[k] = rec(v, b[k])
+                else:
+                    out[k] = _count_keep(v)
+            return out
+        if (hasattr(b, "shape") and tuple(a.shape) == tuple(b.shape)):
+            counts[0] += 1
+            return b
+        counts[1] += 1
+        return a
+
+    def _count_keep(v):
+        if isinstance(v, dict):
+            return {k: _count_keep(x) for k, x in v.items()}
+        counts[1] += 1
+        return v
+
+    merged = rec(init, pretrained)
+    return merged, counts[0], counts[1]
 
 
 def load_variables(path: str) -> dict:

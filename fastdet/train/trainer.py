@@ -118,13 +118,16 @@ def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
         metrics["lr"] = lr
         return new_state, metrics
 
+    # donate the state: params/opt buffers update in place instead of
+    # being copied every step
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(DATA_AXIS))
         return jax.jit(step_fn,
                        in_shardings=(repl, data, data, data, repl),
-                       out_shardings=(repl, repl))
-    return jax.jit(step_fn)
+                       out_shardings=(repl, repl),
+                       donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,))
 
 
 class Trainer:

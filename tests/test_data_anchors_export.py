@@ -142,3 +142,43 @@ def test_export_roundtrip(tmp_path):
                          train=False, deploy=True)
     np.testing.assert_allclose(np.asarray(e2), np.asarray(d2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(e3), np.asarray(d3), atol=1e-6)
+
+
+def test_merge_variables_partial_finetune():
+    """strict=False finetune semantics: backbone+FPN load from an
+    80-class checkpoint under a 5-class head."""
+    import jax
+    import jax.numpy as jnp
+    from fastdet.io import merge_variables
+    from fastdet.io.torch_convert import load_torch_weights
+    from fastdet.models import Detector
+
+    pre = load_torch_weights(
+        "/root/reference/modelzoo/coco2017-0.241078ap-model.pth")
+    model5 = Detector(classes=5, anchor_num=3)
+    init = model5.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 352, 352, 3)), train=False)
+    merged, n_load, n_keep = merge_variables(init, pre)
+    # cls head (kernel+bias) differs in shape -> kept fresh
+    assert n_keep == 2 and n_load > 300
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["backbone"]["first_conv"]["conv"]["kernel"]),
+        np.asarray(pre["params"]["backbone"]["first_conv"]["conv"]["kernel"]))
+    # merged model runs
+    outs = model5.apply(merged, jnp.zeros((1, 352, 352, 3)), train=False)
+    assert outs[2].shape == (1, 22, 22, 5)
+
+
+def test_backbone_only_conversion():
+    """The ImageNet backbone .pth (330 tensors) converts standalone."""
+    import jax
+    import jax.numpy as jnp
+    from fastdet.io.torch_convert import load_torch_weights
+    from fastdet.models.shufflenet import ShuffleNetV2
+
+    bb = load_torch_weights("/root/reference/model/backbone/backbone.pth",
+                            backbone_only=True)
+    net = ShuffleNetV2()
+    c2, c3 = net.apply(jax.tree.map(jnp.asarray, bb),
+                       jnp.zeros((1, 352, 352, 3)), False)
+    assert c2.shape == (1, 22, 22, 96) and c3.shape == (1, 11, 11, 192)

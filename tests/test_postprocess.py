@@ -141,3 +141,25 @@ def test_golden_image_bf16_serving(ref_variables, coco_cfg, golden_batch):
     np.testing.assert_array_equal(a[:, 5], b[:, 5])        # same classes
     np.testing.assert_allclose(a[:, :4], b[:, :4], atol=4.0)  # boxes ±4px
     np.testing.assert_allclose(a[:, 4], b[:, 4], atol=0.05)   # scores
+
+
+@requires_reference
+def test_detect_at_640(ref_variables):
+    """The stack is fully convolutional: the 640x640 streaming config
+    (BASELINE.json stretch goal) runs through the same fused path with
+    strides derived from shapes."""
+    from fastdet.config import Config
+    cfg640 = Config.from_dict({
+        "classes": 80, "width": 640, "height": 640, "anchor_num": 3,
+        "anchors": [12.64, 19.39, 37.88, 51.48, 55.71, 138.31,
+                    126.91, 78.23, 131.57, 214.55, 279.92, 258.87]})
+    model = Detector(classes=80, anchor_num=3)
+    ori = cv2.imread(GOLDEN_IMG)
+    img = cv2.resize(ori, (640, 640), interpolation=cv2.INTER_LINEAR)
+    detect = build_detect_fn(model, cfg640, conf_thres=0.3, iou_thres=0.4)
+    dets, counts = detect(ref_variables, jnp.asarray(img[None]))
+    n = int(counts[0])
+    assert n >= 1
+    d = np.asarray(dets[0][:n])
+    assert (d[:, :4] >= -50).all() and (d[:, :4] <= 700).all()
+    assert 0.0 in d[:, 5]  # finds the person at this scale too
