@@ -19,7 +19,8 @@ from fastdet.eval.metrics import ap_per_class, batch_statistics
 
 def evaluate(detect_fn: Callable, variables, batches: Iterable,
              input_hw: Tuple[int, int], iou_thres: float = 0.5,
-             progress: bool = False) -> Optional[Tuple[float, float, float, float]]:
+             progress: bool = False, distributed: bool = False
+             ) -> Optional[Tuple[float, float, float, float]]:
     """detect_fn(variables, images_u8) -> (dets (B,max_det,6), counts (B,)).
 
     batches yields (images_u8 (B,H,W,3), labels (B,M,5) [cls,cx,cy,w,h]
@@ -57,6 +58,12 @@ def evaluate(detect_fn: Callable, variables, batches: Iterable,
 
         all_stats.extend(batch_statistics(det_list, gt_boxes, gt_labels,
                                           iou_thres))
+
+    if distributed:
+        # multi-host: each process evaluated its own dataset shard;
+        # all-gather the stats so every host reports global metrics
+        from fastdet.parallel.multihost import gather_eval_stats
+        all_stats, all_labels = gather_eval_stats(all_stats, all_labels)
 
     if not all_stats:
         print("---- No detections over whole validation set ----")

@@ -42,6 +42,47 @@ class DevicePipeline:
         return [dets[i, :counts[i]] for i in range(len(counts))]
 
 
+class StreamingPipeline:
+    """Double-buffered frame-stream detection (the 640×640 streaming
+    stretch config, BASELINE.json): host preprocessing of batch N+1
+    overlaps device inference of batch N via a background thread and
+    JAX's async dispatch."""
+
+    def __init__(self, pipeline: "DevicePipeline", batch_size: int = 8):
+        self._pipe = pipeline
+        self._bs = batch_size
+
+    def run(self, frames) -> List[np.ndarray]:
+        """frames: iterable of HWC uint8 images (already model-sized).
+        Returns per-frame detection arrays, in order."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            buf = []
+            for f in frames:
+                buf.append(f)
+                if len(buf) == self._bs:
+                    q.put(np.stack(buf))
+                    buf = []
+            if buf:
+                q.put(np.stack(buf))
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        out: List[np.ndarray] = []
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            out.extend(self._pipe(item))
+        return out
+
+
 class HybridPipeline:
     def __init__(self, model, variables, cfg: Config, conf_thres=0.3,
                  iou_thres=0.45, max_det=300):

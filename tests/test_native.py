@@ -113,3 +113,21 @@ def test_hybrid_pipeline(native_lib, ref_variables, coco_cfg):
                          iou_thres=0.4)(img)
     assert len(dev[0]) == len(hyb[0])
     np.testing.assert_allclose(dev[0][:, :5], hyb[0][:, :5], atol=1e-2)
+
+
+@requires_reference
+def test_streaming_pipeline(native_lib, ref_variables, coco_cfg):
+    """Frame stream -> ordered per-frame detections via double buffering."""
+    from fastdet.serve import DevicePipeline, StreamingPipeline
+    img = cv2.resize(cv2.imread(GOLDEN_IMG), (352, 352),
+                     interpolation=cv2.INTER_LINEAR)
+    frames = [img] * 5
+    model = Detector(classes=80, anchor_num=3)
+    pipe = DevicePipeline(model, ref_variables, coco_cfg, conf_thres=0.3,
+                          iou_thres=0.4)
+    stream = StreamingPipeline(pipe, batch_size=2)
+    results = stream.run(iter(frames))
+    assert len(results) == 5
+    for r in results:
+        assert len(r) == len(results[0])
+        np.testing.assert_allclose(r, results[0], atol=1e-5)

@@ -174,3 +174,17 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multihost_helpers_single_process():
+    """process_shard and gather_eval_stats degenerate correctly on one
+    process (multi-process gather exercises the same packing)."""
+    from fastdet.parallel.multihost import gather_eval_stats, process_shard
+    s, e = process_shard(10)
+    assert (s, e) == (0, 10)
+    stats = [(np.ones(3), np.linspace(1, 0, 3), np.zeros(3)),
+             (np.zeros(0), np.zeros(0), np.zeros(0))]
+    labels = [1.0, 2.0]
+    gs, gl = gather_eval_stats(stats, labels)
+    assert len(gs) == 2 and gl == labels
+    np.testing.assert_array_equal(gs[0][0], stats[0][0])
