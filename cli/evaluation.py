@@ -50,7 +50,10 @@ def main():
             yield jnp.asarray(images), labels, mask
 
     print("computer mAP...")
-    detect_map = build_detect_fn(model, cfg, conf_thres=0.01, iou_thres=0.4)
+    # mAP at conf 0.01 keeps nearly every candidate: use a full-coverage
+    # NMS window (reference caps at 30k, far above the 1815 cells)
+    detect_map = build_detect_fn(model, cfg, conf_thres=0.01, iou_thres=0.4,
+                                 max_nms=2048)
     res_map = evaluate(detect_map, variables, batches(),
                        (cfg.height, cfg.width), progress=True)
     print("computer PR...")
