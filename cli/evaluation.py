@@ -15,6 +15,8 @@ def main():
                         help="Specify training profile *.data")
     parser.add_argument("--weights", type=str, default="",
                         help="The path of the model weights")
+    parser.add_argument("--model", type=str, default="yolo-fastestv2",
+                        help="model family: yolo-fastestv2 | anchorfree")
     parser.add_argument("--batch", type=int, default=0,
                         help="override eval batch size")
     opt = parser.parse_args()
@@ -34,10 +36,8 @@ def main():
     from fastdet.data import DarknetDataset, DataLoader
     from fastdet.eval.runner import evaluate
     from fastdet.io import load_variables
-    from fastdet.models import Detector
-    from fastdet.ops.postprocess import build_detect_fn
-
-    model = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+    from fastdet.models.registry import get_family
+    family = get_family(opt.model, cfg)
     variables = jax.tree.map(jnp.asarray, load_variables(opt.weights))
 
     batch_size = opt.batch or int(cfg.batch_size / (cfg.subdivisions or 1))
@@ -52,12 +52,12 @@ def main():
     print("computer mAP...")
     # mAP at conf 0.01 keeps nearly every candidate: use a full-coverage
     # NMS window (reference caps at 30k, far above the 1815 cells)
-    detect_map = build_detect_fn(model, cfg, conf_thres=0.01, iou_thres=0.4,
-                                 max_nms=2048)
+    detect_map = family.build_detect_fn(conf_thres=0.01, iou_thres=0.4,
+                                        max_nms=2048)
     res_map = evaluate(detect_map, variables, batches(),
                        (cfg.height, cfg.width), progress=True)
     print("computer PR...")
-    detect_pr = build_detect_fn(model, cfg, conf_thres=0.3, iou_thres=0.4)
+    detect_pr = family.build_detect_fn(conf_thres=0.3, iou_thres=0.4)
     res_pr = evaluate(detect_pr, variables, batches(),
                       (cfg.height, cfg.width), progress=True)
     ap = res_map[2] if res_map else 0.0

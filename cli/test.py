@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--img", type=str, default="",
                         help="The path of test image")
     parser.add_argument("--output", type=str, default="test_result.png")
+    parser.add_argument("--model", type=str, default="yolo-fastestv2",
+                        help="model family: yolo-fastestv2 | anchorfree")
     parser.add_argument("--conf", type=float, default=0.3)
     parser.add_argument("--nms", type=float, default=0.4)
     opt = parser.parse_args()
@@ -41,13 +43,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from fastdet.io import load_variables
-    from fastdet.models import Detector
-    from fastdet.ops.postprocess import build_detect_fn
-
-    model = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+    from fastdet.models.registry import get_family
+    family = get_family(opt.model, cfg)
     variables = jax.tree.map(jnp.asarray, load_variables(opt.weights))
-    detect = build_detect_fn(model, cfg, conf_thres=opt.conf,
-                             iou_thres=opt.nms)
+    detect = family.build_detect_fn(conf_thres=opt.conf, iou_thres=opt.nms)
 
     ori_img = cv2.imread(opt.img)
     res_img = cv2.resize(ori_img, (cfg.width, cfg.height),

@@ -40,6 +40,8 @@ def main():
                              "into this directory")
     parser.add_argument("--logdir", type=str, default="",
                         help="append per-step metrics to <logdir>/train.jsonl")
+    parser.add_argument("--model", type=str, default="yolo-fastestv2",
+                        help="model family: yolo-fastestv2 | anchorfree")
     parser.add_argument("--backbone", type=str, default="",
                         help="ImageNet-pretrained backbone weights "
                              "(.pth or .npz) to initialize from when not "
@@ -56,8 +58,6 @@ def main():
     from fastdet.data import DarknetDataset, DataLoader, default_augment
     from fastdet.eval.runner import evaluate
     from fastdet.io import load_variables, save_checkpoint, load_checkpoint, latest_step
-    from fastdet.models import Detector
-    from fastdet.ops.postprocess import build_detect_fn
     from fastdet.parallel.mesh import make_mesh, shard_batch
     from fastdet.train.trainer import Trainer
 
@@ -78,10 +78,13 @@ def main():
     mesh = make_mesh(n_dp) if n_dp > 1 else None
     if mesh is not None:
         print(f"data-parallel mesh over {n_dp} devices")
-    model = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+    from fastdet.models.registry import get_family
+    family = get_family(opt.model, cfg)
+    model = family.model
     trainer = Trainer(model, cfg, steps_per_epoch=len(train_loader),
                       mesh=mesh,
-                      compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+                      compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+                      loss_fn=family.loss_fn)
 
     # init / finetune / resume.  pre_weights merges with strict=False
     # semantics (reference train.py:76): matching tensors load, the rest
@@ -128,8 +131,8 @@ def main():
             print(f"Resumed from epoch {start_epoch}")
 
     os.makedirs(opt.weights_dir, exist_ok=True)
-    detect_map = build_detect_fn(model, cfg, conf_thres=0.01, iou_thres=0.4)
-    detect_pr = build_detect_fn(model, cfg, conf_thres=0.3, iou_thres=0.4)
+    detect_map = family.build_detect_fn(conf_thres=0.01, iou_thres=0.4)
+    detect_pr = family.build_detect_fn(conf_thres=0.3, iou_thres=0.4)
 
     print("Starting training for %g epochs..." % cfg.epochs)
     spe = len(train_loader)

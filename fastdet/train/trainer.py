@@ -67,7 +67,8 @@ def create_train_state(model, variables: dict, tx) -> TrainState:
 def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
                     input_hw: Tuple[int, int], subdivisions: int = 1,
                     mesh: Optional[Mesh] = None,
-                    compute_dtype=jnp.float32) -> Callable:
+                    compute_dtype=jnp.float32,
+                    loss_fn_impl: Callable = compute_loss) -> Callable:
     """Returns jitted `train_step(state, images_u8, labels, label_mask,
     anchors) -> (state, metrics)`.
 
@@ -80,7 +81,7 @@ def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, x,
             train=True, mutable=["batch_stats"])
-        total, comps = compute_loss(outputs, labels, label_mask, anchors,
+        total, comps = loss_fn_impl(outputs, labels, label_mask, anchors,
                                     input_hw)
         return total, (comps, mutated["batch_stats"])
 
@@ -135,7 +136,8 @@ class Trainer:
 
     def __init__(self, model, cfg: Config, steps_per_epoch: int,
                  mesh: Optional[Mesh] = None, subdivisions: Optional[int] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 loss_fn: Callable = compute_loss):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
@@ -150,7 +152,7 @@ class Trainer:
             model, self.tx, self.schedule, self.anchors,
             (cfg.height, cfg.width),
             subdivisions=subdivisions or cfg.subdivisions or 1,
-            mesh=mesh, compute_dtype=compute_dtype)
+            mesh=mesh, compute_dtype=compute_dtype, loss_fn_impl=loss_fn)
 
     def init_state(self, variables: dict) -> TrainState:
         state = create_train_state(self.model, variables, self.tx)

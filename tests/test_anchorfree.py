@@ -1,0 +1,131 @@
+"""Anchor-free (FastestDet-style) model family: shapes, decode, loss,
+fused detect, and a short training sanity run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdet.models.anchorfree import (AnchorFreeDetector, anchorfree_loss,
+                                       build_anchorfree_detect_fn,
+                                       decode_anchorfree)
+
+
+@pytest.fixture(scope="module")
+def af_model():
+    model = AnchorFreeDetector(classes=5)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    return model, variables
+
+
+def test_shapes(af_model):
+    model, variables = af_model
+    obj, cls, reg = model.apply(variables, jnp.zeros((2, 128, 128, 3)),
+                                train=False)
+    assert obj.shape == (2, 8, 8, 1)
+    assert cls.shape == (2, 8, 8, 5)
+    assert reg.shape == (2, 8, 8, 4)
+    deploy = model.apply(variables, jnp.zeros((1, 128, 128, 3)),
+                         train=False, deploy=True)
+    assert deploy.shape == (1, 8, 8, 4 + 1 + 5)
+
+
+def test_decode_bounds(af_model):
+    model, variables = af_model
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 255, (2, 128, 128, 3), np.uint8))
+    outs = model.apply(variables, img.astype(jnp.float32) / 255.0,
+                       train=False)
+    boxes, obj, cls = decode_anchorfree(*outs, (128, 128))
+    assert boxes.shape == (2, 64, 4)
+    b = np.asarray(boxes)
+    # centers within [-stride/2, size+stride/2], sizes within (0, size]
+    assert (b[..., :2] > -16).all() and (b[..., :2] < 144).all()
+    assert (b[..., 2:] >= 0).all() and (b[..., 2:] <= 128).all()
+    c = np.asarray(cls)
+    np.testing.assert_allclose(c.sum(-1), 1.0, atol=1e-5)
+
+
+def test_loss_and_grad(af_model):
+    model, variables = af_model
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randint(0, 255, (2, 128, 128, 3), np.uint8))
+    labels = np.zeros((2, 4, 5), np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    labels[0, 1] = [3, 0.2, 0.3, 0.2, 0.25]
+    mask = np.zeros((2, 4), bool)
+    mask[:, 0] = True
+    mask[0, 1] = True
+
+    def f(params):
+        outs = model.apply(
+            {"params": params,
+             "batch_stats": variables["batch_stats"]},
+            img.astype(jnp.float32) / 255.0, train=False)
+        total, comps = anchorfree_loss(outs, jnp.asarray(labels),
+                                       jnp.asarray(mask), (128, 128))
+        return total
+
+    total, grads = jax.value_and_grad(f)(variables["params"])
+    assert np.isfinite(float(total))
+    gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
+
+    # no labels → only obj loss contributes
+    t0 = anchorfree_loss(
+        model.apply(variables, img.astype(jnp.float32) / 255.0,
+                    train=False),
+        jnp.zeros((2, 4, 5)), jnp.zeros((2, 4), bool), (128, 128))
+    assert float(t0[1]["box"]) == 0.0 and float(t0[1]["cls"]) == 0.0
+    assert np.isfinite(float(t0[0]))
+
+
+def test_fused_detect(af_model):
+    model, variables = af_model
+    detect = build_anchorfree_detect_fn(model, (128, 128), conf_thres=0.01,
+                                        max_nms=64)
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randint(0, 255, (2, 128, 128, 3), np.uint8))
+    dets, counts = detect(variables, img)
+    assert dets.shape == (2, 300, 6)
+    assert counts.shape == (2,)
+
+
+def test_training_reduces_loss():
+    """A few SGD steps on a fixed batch reduce the anchor-free loss."""
+    import optax
+    model = AnchorFreeDetector(classes=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randint(0, 255, (4, 64, 64, 3), np.uint8))
+    labels = np.zeros((4, 2, 5), np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.5, 0.5]
+    mask = np.zeros((4, 2), bool)
+    mask[:, 0] = True
+    labels, mask = jnp.asarray(labels), jnp.asarray(mask)
+
+    tx = optax.sgd(0.01, momentum=0.9)
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def f(p):
+            outs, mut = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                img.astype(jnp.float32) / 255.0, train=True,
+                mutable=["batch_stats"])
+            total, _ = anchorfree_loss(outs, labels, mask, (64, 64))
+            return total
+        total, grads = jax.value_and_grad(f)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, total
+
+    losses = []
+    for _ in range(10):
+        params, opt_state, total = step(params, opt_state)
+        losses.append(float(total))
+    assert losses[-1] < losses[0], losses

@@ -116,3 +116,15 @@ def test_cli_export(tiny_world, tmp_path):
                 "--output", out)
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.getsize(out) > 100_000
+
+
+def test_cli_train_anchorfree(tiny_world, tmp_path):
+    """The anchor-free model family trains and saves via the same CLI."""
+    wdir = str(tmp_path / "w")
+    cdir = str(tmp_path / "c")
+    r = run_cli("train.py", "--data", str(tiny_world / "tiny.data"),
+                "--weights_dir", wdir, "--ckpt_dir", cdir,
+                "--model", "anchorfree")
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Total:" in r.stdout
+    assert os.path.exists(os.path.join(wdir, "tiny-final-model.npz"))
