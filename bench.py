@@ -70,7 +70,7 @@ def main():
     detect = build_detect_fn(model, cfg, conf_thres=0.3, iou_thres=0.4,
                              max_nms=256, dtype=jnp.bfloat16)
 
-    batch = int(os.environ.get("FASTDET_BENCH_BATCH", "512"))
+    batch = int(os.environ.get("FASTDET_BENCH_BATCH", "1024"))
     iters = int(os.environ.get("FASTDET_BENCH_ITERS", "20"))
 
     rng = np.random.RandomState(0)
