@@ -166,5 +166,23 @@ class Trainer:
         return self.train_step(state, images, labels, label_mask,
                                self.anchors)
 
+    def make_chained_step(self, k: int):
+        """Build `chained(state, images (K,B,…), labels (K,B,…), mask)
+        -> (state, stacked metrics)`: K train steps inside ONE program
+        (lax.scan).  Amortizes per-dispatch runtime overhead — the
+        TPU-native shape of an input-pipeline-fed training loop."""
+        inner = self.train_step
+        anchors = self.anchors
+
+        @jax.jit
+        def chained(state, images_k, labels_k, mask_k):
+            def body(s, xs):
+                im, lb, mk = xs
+                s2, m = inner(s, im, lb, mk, anchors)
+                return s2, m
+            return jax.lax.scan(body, state, (images_k, labels_k, mask_k))
+
+        return chained
+
     def current_lr(self, step: int) -> float:
         return float(self.schedule(step))

@@ -188,3 +188,52 @@ def test_multihost_helpers_single_process():
     gs, gl = gather_eval_stats(stats, labels)
     assert len(gs) == 2 and gl == labels
     np.testing.assert_array_equal(gs[0][0], stats[0][0])
+
+
+def test_chained_train_steps():
+    """K steps in one program == K sequential steps (same final params)."""
+    from fastdet.config import Config
+    from fastdet.models import Detector
+    from fastdet.train.trainer import Trainer
+
+    cfg = Config.from_dict({
+        "classes": 2, "width": 32, "height": 32, "anchor_num": 3,
+        "anchors": [4.0, 6.0, 9.0, 12.0, 16.0, 24.0,
+                    24.0, 16.0, 32.0, 40.0, 52.0, 48.0],
+        "learning_rate": 0.01, "steps": [100], "subdivisions": 1,
+        "batch_size": 2, "epochs": 1})
+    model = Detector(classes=2, anchor_num=3)
+    trainer = Trainer(model, cfg, steps_per_epoch=1)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+
+    # K=2: warmup makes step 0's lr exactly 0, so only one optimizer
+    # apply has effect — the comparison is then exact (longer chains
+    # diverge at fp32-reassociation level once training chaos kicks in)
+    rng = np.random.RandomState(0)
+    K, B = 2, 2
+    imgs = rng.randint(0, 255, (K, B, 32, 32, 3), np.uint8)
+    labels = np.zeros((K, B, 4, 5), np.float32)
+    labels[..., 0, :] = [1, 0.5, 0.5, 0.4, 0.4]
+    mask = np.zeros((K, B, 4), bool)
+    mask[..., 0] = True
+
+    s_seq = trainer.init_state(jax.tree.map(jnp.copy, variables))
+    for i in range(K):
+        s_seq, m_seq = trainer.step(s_seq, jnp.asarray(imgs[i]),
+                                    jnp.asarray(labels[i]),
+                                    jnp.asarray(mask[i]))
+
+    chained = trainer.make_chained_step(K)
+    s_ch, m_ch = chained(trainer.init_state(jax.tree.map(jnp.copy, variables)),
+                         jnp.asarray(imgs), jnp.asarray(labels),
+                         jnp.asarray(mask))
+
+    assert int(s_ch.step) == int(s_seq.step) == K
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_ch.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert m_ch["total"].shape == (K,)
+    np.testing.assert_allclose(float(m_ch["total"][-1]),
+                               float(m_seq["total"]), rtol=1e-4)
