@@ -131,7 +131,10 @@ def main():
             print(f"Resumed from epoch {start_epoch}")
 
     os.makedirs(opt.weights_dir, exist_ok=True)
-    detect_map = family.build_detect_fn(conf_thres=0.01, iou_thres=0.4)
+    # mAP at conf 0.01 keeps nearly every candidate: full-coverage NMS
+    # window (the model emits 1,815 cells/image; reference caps at 30k)
+    detect_map = family.build_detect_fn(conf_thres=0.01, iou_thres=0.4,
+                                        max_nms=2048)
     detect_pr = family.build_detect_fn(conf_thres=0.3, iou_thres=0.4)
 
     print("Starting training for %g epochs..." % cfg.epochs)

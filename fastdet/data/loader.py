@@ -38,6 +38,30 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self._rng = random.Random(seed)
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._pool_lock = threading.Lock()
+
+    def _get_pool(self) -> ThreadPoolExecutor:
+        """Persistent worker pool, shared across epochs (the
+        persistent_workers role of the reference DataLoader)."""
+        with self._pool_lock:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers,
+                    thread_name_prefix="fastdet-loader")
+            return self._pool
+
+    def close(self) -> None:
+        with self._pool_lock:
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+                self._pool = None
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -65,16 +89,31 @@ class DataLoader:
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+        pool = self._get_pool()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for chunk in self._batch_indices():
-                    q.put(self._load_batch(pool, chunk))
+                    if stop.is_set():
+                        return
+                    if not _put(self._load_batch(pool, chunk)):
+                        return
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True,
+                             name="fastdet-loader-producer")
         t.start()
         try:
             while True:
@@ -83,4 +122,12 @@ class DataLoader:
                     break
                 yield item
         finally:
-            pool.shutdown(wait=False)
+            # Abandoned iteration (break / exception / GC): release the
+            # producer so it exits instead of blocking on a full queue.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)

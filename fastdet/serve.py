@@ -66,10 +66,15 @@ class StreamingPipeline:
             for f in frames:
                 buf.append(f)
                 if len(buf) == self._bs:
-                    q.put(np.stack(buf))
+                    q.put((np.stack(buf), self._bs))
                     buf = []
             if buf:
-                q.put(np.stack(buf))
+                # pad the ragged tail to the static batch size so the
+                # jitted detect program never recompiles; the valid
+                # count trims the padded outputs
+                n = len(buf)
+                pad = [np.zeros_like(buf[0])] * (self._bs - n)
+                q.put((np.stack(buf + pad), n))
             q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -79,7 +84,8 @@ class StreamingPipeline:
             item = q.get()
             if item is sentinel:
                 break
-            out.extend(self._pipe(item))
+            batch, valid = item
+            out.extend(self._pipe(batch)[:valid])
         return out
 
 

@@ -56,6 +56,39 @@ def test_dataset_and_loader(synth_dataset):
     assert (labels[~mask] == 0).all()
 
 
+def test_loader_abandoned_iteration(synth_dataset):
+    """Breaking out mid-epoch must not strand the producer thread, and
+    the loader must be fully re-iterable afterwards (resume scenario)."""
+    import threading
+    import time
+    from fastdet.data import DarknetDataset, DataLoader
+
+    lst, _ = synth_dataset
+    ds = DarknetDataset(lst, 64, 64, augment=None)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        max_labels=10, num_workers=2, prefetch=1)
+
+    for _ in range(3):  # repeated interrupted epochs
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch (what a `break` does via GC)
+
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name.startswith("fastdet-loader-producer")]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, f"stranded producer threads: {alive}"
+
+    # a full epoch still works after the interruptions
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[0][0].shape == (2, 64, 64, 3)
+    loader.close()
+
+
 def test_dataset_validation(tmp_path):
     from fastdet.data import DarknetDataset
     bad = tmp_path / "bad.txt"
