@@ -42,10 +42,15 @@ def main():
 
     batch_size = opt.batch or int(cfg.batch_size / (cfg.subdivisions or 1))
     val_ds = DarknetDataset(cfg.val, cfg.width, cfg.height, augment=None)
+    # multi-host: each process evaluates its own shard, stats are
+    # all-gathered so every host prints identical global metrics
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
+    dist = shard is not None
 
     def batches():
         loader = DataLoader(val_ds, batch_size, shuffle=False,
-                            drop_last=False)
+                            drop_last=False, shard=shard)
         for images, labels, mask in loader:
             yield jnp.asarray(images), labels, mask
 
@@ -55,11 +60,13 @@ def main():
     detect_map = family.build_detect_fn(conf_thres=0.01, iou_thres=0.4,
                                         max_nms=2048)
     res_map = evaluate(detect_map, variables, batches(),
-                       (cfg.height, cfg.width), progress=True)
+                       (cfg.height, cfg.width), progress=True,
+                       distributed=dist)
     print("computer PR...")
     detect_pr = family.build_detect_fn(conf_thres=0.3, iou_thres=0.4)
     res_pr = evaluate(detect_pr, variables, batches(),
-                      (cfg.height, cfg.width), progress=True)
+                      (cfg.height, cfg.width), progress=True,
+                      distributed=dist)
     ap = res_map[2] if res_map else 0.0
     precision, recall, f1 = (res_pr[0], res_pr[1], res_pr[3]) if res_pr \
         else (0.0, 0.0, 0.0)

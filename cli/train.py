@@ -33,6 +33,10 @@ def main():
     parser.add_argument("--eval_every", type=int, default=10)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations in the forward pass")
+    parser.add_argument("--chain", type=int, default=1,
+                        help="fuse K train steps into one device program "
+                             "(lax.scan) to amortize dispatch overhead; "
+                             "leftover steps at epoch end run singly")
     parser.add_argument("--summary", action="store_true",
                         help="print the model parameter table at startup")
     parser.add_argument("--profile", type=str, default="",
@@ -67,10 +71,16 @@ def main():
 
     batch_size = int(cfg.batch_size / (cfg.subdivisions or 1))
     nw = min(os.cpu_count() or 1, batch_size if batch_size > 1 else 1, 8)
+    # multi-host: each process loads only its shard of the dataset
+    # (per-host input pipeline, SURVEY.md §5)
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
+    if shard is not None:
+        print(f"input shard {shard[0] + 1}/{shard[1]}")
     train_loader = DataLoader(train_ds, batch_size, shuffle=True,
-                              drop_last=True, num_workers=nw)
+                              drop_last=True, num_workers=nw, shard=shard)
     val_loader_args = dict(batch_size=batch_size, shuffle=False,
-                           drop_last=False, num_workers=nw)
+                           drop_last=False, num_workers=nw, shard=shard)
 
     # DP mesh over as many devices as evenly divide the batch
     import math
@@ -137,29 +147,71 @@ def main():
                                         max_nms=2048)
     detect_pr = family.build_detect_fn(conf_thres=0.3, iou_thres=0.4)
 
+    chain_k = max(1, opt.chain)
+    chained_step = trainer.make_chained_step(chain_k) if chain_k > 1 else None
+    if chained_step is not None:
+        from fastdet.parallel.mesh import shard_chained_batch
+        print(f"chaining {chain_k} train steps per device program")
+
     print("Starting training for %g epochs..." % cfg.epochs)
     spe = len(train_loader)
     for epoch in range(start_epoch, cfg.epochs):
         t_epoch = time.time()
-        for i, (images, labels, mask) in enumerate(train_loader):
-            batch = (jnp.asarray(images), jnp.asarray(labels),
-                     jnp.asarray(mask))
+        # epoch-keyed shuffle: deterministic across --resume and
+        # identical on every host of a multi-host job
+        train_loader.set_epoch(epoch)
+        pending = []   # host batches awaiting a full chain of K
+
+        def run_single(batch_np):
+            batch = tuple(jnp.asarray(x) for x in batch_np)
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
-            if opt.profile and epoch == start_epoch and i == 4:
-                with trace(opt.profile):
-                    state, metrics = trainer.step(state, *batch)
-                    jax.block_until_ready(metrics["total"])
-                print(f"profiler trace written to {opt.profile}")
-                continue
-            with timer:
-                state, metrics = trainer.step(state, *batch)
+            return trainer.step(state, *batch)
+
+        def run_chain(batches_np):
+            stacked = tuple(np.stack(parts) for parts in zip(*batches_np))
+            if mesh is not None:
+                stacked = shard_chained_batch(mesh, stacked)
+            else:
+                stacked = tuple(jnp.asarray(x) for x in stacked)
+            new_state, metrics_k = chained_step(state, *stacked)
+            # report the last step of the chain
+            return new_state, {k: v[-1] for k, v in metrics_k.items()}
+
+        def log_progress(i, metrics):
             if i % 10 == 0 or i == spe - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 mlog.log(int(state.step), m)
                 print("Epoch:%d %d/%d LR:%f CIou:%f Obj:%f Cls:%f Total:%f"
                       % (epoch, i, spe, m["lr"], m["box"], m["obj"],
                          m["cls"], m["total"]), flush=True)
+
+        for i, (images, labels, mask) in enumerate(train_loader):
+            batch_np = (images, labels, mask)
+            if opt.profile and epoch == start_epoch and i == 4:
+                with trace(opt.profile):
+                    state, metrics = run_single(batch_np)
+                    jax.block_until_ready(metrics["total"])
+                print(f"profiler trace written to {opt.profile}")
+                continue
+            if chained_step is None:
+                with timer:
+                    state, metrics = run_single(batch_np)
+                log_progress(i, metrics)
+                continue
+            pending.append(batch_np)
+            if len(pending) == chain_k:
+                with timer:
+                    state, metrics = run_chain(pending)
+                pending = []
+                log_progress(i, metrics)
+        # leftover partial chain at epoch end runs step-by-step (exact
+        # semantics: no padded/duplicated gradient steps)
+        for batch_np in pending:
+            with timer:
+                state, metrics = run_single(batch_np)
+        if pending:
+            log_progress(spe - 1, metrics)
         ts = timer.summary()
         print("epoch %d took %.1fs (step p50 %.1f ms)"
               % (epoch, time.time() - t_epoch, ts.get("p50_ms", 0.0)))
@@ -172,12 +224,15 @@ def main():
                 for im, lb, mk in DataLoader(val_ds, **val_loader_args):
                     yield jnp.asarray(im), lb, mk
 
+            dist = jax.process_count() > 1
             print("computer mAP...")
             res_map = evaluate(detect_map, eval_vars, batches(),
-                               (cfg.height, cfg.width), progress=True)
+                               (cfg.height, cfg.width), progress=True,
+                               distributed=dist)
             print("computer PR...")
             res_pr = evaluate(detect_pr, eval_vars, batches(),
-                              (cfg.height, cfg.width), progress=True)
+                              (cfg.height, cfg.width), progress=True,
+                              distributed=dist)
             ap = res_map[2] if res_map else 0.0
             precision, recall, f1 = (res_pr[0], res_pr[1], res_pr[3]) \
                 if res_pr else (0.0, 0.0, 0.0)
@@ -190,7 +245,9 @@ def main():
                 "%s-%d-epoch-%fap-model.npz" % (cfg.model_name, epoch, ap))
             _save_npz(eval_vars, out)
             print("saved", out)
-            save_checkpoint(opt.ckpt_dir, epoch, jax.device_get(state))
+            # step = number of COMPLETED epochs, so --resume continues
+            # at epoch+1 instead of repeating this epoch
+            save_checkpoint(opt.ckpt_dir, epoch + 1, jax.device_get(state))
 
     # final save
     save_checkpoint(opt.ckpt_dir, cfg.epochs, jax.device_get(state))

@@ -90,7 +90,8 @@ class DarknetDataset:
         self.width = img_width
         self.height = img_height
         self.augment = augment
-        self._rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
 
         self.items: List[str] = []
         with open(list_path, "r") as f:
@@ -108,6 +109,10 @@ class DarknetDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Key the augmentation RNG on the epoch (see __getitem__)."""
+        self._epoch = int(epoch)
+
     @staticmethod
     def label_path(img_path: str) -> str:
         # reference convention: everything up to the FIRST dot + .txt
@@ -122,7 +127,11 @@ class DarknetDataset:
         img = cv2.resize(img, (self.width, self.height),
                          interpolation=cv2.INTER_LINEAR)
         if self.augment is not None:
-            img = self.augment(img, self._rng)
+            # per-(seed, epoch, index) RNG: thread-safe (loader workers
+            # share no stream) and deterministic across --resume
+            rng = random.Random(
+                (self.seed * 1000003 + self._epoch) * 1000003 + index)
+            img = self.augment(img, rng)
 
         lpath = self.label_path(img_path)
         if not os.path.exists(lpath):

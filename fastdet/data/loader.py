@@ -29,7 +29,13 @@ class DataLoader:
     def __init__(self, dataset: DarknetDataset, batch_size: int,
                  shuffle: bool = False, drop_last: bool = False,
                  max_labels: int = 100, num_workers: int = 8,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0,
+                 shard: Optional[Tuple[int, int]] = None):
+        """shard=(index, count): multi-host mode — every host shuffles the
+        full index list identically (seed+epoch keyed), then keeps the
+        strided slice idx[index::count], so shards are disjoint, equal
+        within one batch, and globally cover the dataset (the per-host
+        input pipeline of SURVEY.md §5)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,9 +43,21 @@ class DataLoader:
         self.max_labels = max_labels
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
-        self._rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
+        if shard is not None:
+            index, count = shard
+            assert 0 <= index < count, f"bad shard {shard}"
+        self.shard = shard
         self._pool: Optional[ThreadPoolExecutor] = None
         self._pool_lock = threading.Lock()
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order to an epoch number (deterministic across
+        resume and identical on every host of a multi-host job)."""
+        self._epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # augmentation RNG keying
 
     def _get_pool(self) -> ThreadPoolExecutor:
         """Persistent worker pool, shared across epochs (the
@@ -63,8 +81,15 @@ class DataLoader:
         except Exception:
             pass
 
-    def __len__(self) -> int:
+    def _shard_size(self) -> int:
         n = len(self.dataset)
+        if self.shard is None:
+            return n
+        index, count = self.shard
+        return len(range(index, n, count))
+
+    def __len__(self) -> int:
+        n = self._shard_size()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -72,7 +97,10 @@ class DataLoader:
     def _batch_indices(self):
         idx = list(range(len(self.dataset)))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            random.Random(self.seed * 100003 + self._epoch).shuffle(idx)
+        if self.shard is not None:
+            index, count = self.shard
+            idx = idx[index::count]
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:

@@ -52,3 +52,10 @@ def shard_batch(mesh: Mesh, tree: Any) -> Any:
     """device_put every leaf with its batch axis sharded over the mesh."""
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_chained_batch(mesh: Mesh, tree: Any) -> Any:
+    """device_put (K, B, ...) stacked-chain leaves: the chain axis is
+    replicated (lax.scan steps through it), the batch axis sharded."""
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

@@ -174,7 +174,7 @@ class Trainer:
         inner = self.train_step
         anchors = self.anchors
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def chained(state, images_k, labels_k, mask_k):
             def body(s, xs):
                 im, lb, mk = xs

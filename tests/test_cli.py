@@ -105,6 +105,91 @@ def test_cli_train_and_eval(tiny_world, tmp_path):
             or "No detections" in r2.stdout), r2.stdout
 
 
+def _write_data(tiny_world, tmp_path, name, epochs):
+    """Clone tiny.data with a different epoch count."""
+    txt = (tiny_world / "tiny.data").read_text()
+    out = tmp_path / name
+    out.write_text(txt.replace("epochs=1", f"epochs={epochs}"))
+    return str(out)
+
+
+def _load_npz_dict(path):
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def test_cli_train_cadence_resume_chain(tiny_world, tmp_path):
+    """The 10-epoch-style eval/save cadence executes, and an interrupted
+    run resumed with --resume reproduces the uninterrupted run's final
+    params BITWISE (epoch-keyed shuffle + per-(epoch,index) augmentation
+    RNG make training resume-deterministic).
+
+    Note on --chain: a chained lax.scan program reassociates float
+    reductions, so chain-vs-nochain params agree only to ~1e-5 per call —
+    and this tiny high-loss setup amplifies 1e-5 to O(0.1) within two
+    steps (measured), so cross-mode equality is not a meaningful check.
+    Program-level chain==sequential equivalence is pinned by
+    tests/test_trainer.py::test_chained_train_steps; here we pin the CLI
+    wiring: the all-leftover path (--chain larger than the epoch) is
+    bitwise-equal to the plain path, and the full-chain path trains and
+    resumes end-to-end."""
+    data4 = _write_data(tiny_world, tmp_path, "tiny4.data", 4)
+    data2 = _write_data(tiny_world, tmp_path, "tiny2.data", 2)
+
+    # Run A: uninterrupted 4 epochs, eval/save cadence every 2 epochs
+    wa, ca = str(tmp_path / "wa"), str(tmp_path / "ca")
+    ra = run_cli("train.py", "--data", data4, "--weights_dir", wa,
+                 "--ckpt_dir", ca, "--eval_every", "2")
+    assert ra.returncode == 0, ra.stderr[-3000:]
+    assert "computer mAP..." in ra.stdout          # cadence eval ran
+    assert "Precision:" in ra.stdout
+    stamped = [f for f in os.listdir(wa) if "-2-epoch-" in f]
+    assert stamped, f"no AP-stamped cadence save in {os.listdir(wa)}"
+    a = _load_npz_dict(os.path.join(wa, "tiny-final-model.npz"))
+
+    # Run B: train 2 epochs ("interrupted"), snapshot the checkpoint,
+    # then resume for 2 more — plain and all-leftover-chain variants
+    wb, cb = str(tmp_path / "wb"), str(tmp_path / "cb")
+    rb1 = run_cli("train.py", "--data", data2, "--weights_dir", wb,
+                  "--ckpt_dir", cb)
+    assert rb1.returncode == 0, rb1.stderr[-3000:]
+    import shutil
+    cc = str(tmp_path / "cc")
+    cd = str(tmp_path / "cd")
+    shutil.copytree(cb, cc)
+    shutil.copytree(cb, cd)
+
+    rb2 = run_cli("train.py", "--data", data4, "--weights_dir", wb,
+                  "--ckpt_dir", cb, "--resume")
+    assert rb2.returncode == 0, rb2.stderr[-3000:]
+    assert "Resumed from epoch 2" in rb2.stdout
+    b = _load_npz_dict(os.path.join(wb, "tiny-final-model.npz"))
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # all-leftover chain (chain 4 > 2 steps/epoch): singles path, bitwise
+    wc = str(tmp_path / "wc")
+    rc2 = run_cli("train.py", "--data", data4, "--weights_dir", wc,
+                  "--ckpt_dir", cc, "--resume", "--chain", "4")
+    assert rc2.returncode == 0, rc2.stderr[-3000:]
+    c = _load_npz_dict(os.path.join(wc, "tiny-final-model.npz"))
+    for k in a:
+        np.testing.assert_array_equal(a[k], c[k], err_msg=k)
+
+    # full-chain path: trains, resumes, saves (arithmetic equivalence of
+    # the chained program itself is unit-tested)
+    wd = str(tmp_path / "wd")
+    rd2 = run_cli("train.py", "--data", data4, "--weights_dir", wd,
+                  "--ckpt_dir", cd, "--resume", "--chain", "2")
+    assert rd2.returncode == 0, rd2.stderr[-3000:]
+    assert "chaining 2 train steps" in rd2.stdout
+    assert "Resumed from epoch 2" in rd2.stdout
+    d = _load_npz_dict(os.path.join(wd, "tiny-final-model.npz"))
+    for k in a:
+        assert np.isfinite(d[k]).all(), k
+
+
 def test_cli_export(tiny_world, tmp_path):
     """Train-less export path: random init would need weights; reuse the
     converted reference weights only when present, else skip."""
