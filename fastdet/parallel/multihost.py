@@ -35,27 +35,44 @@ def gather_eval_stats(stats: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]]
 
     from jax.experimental import multihost_utils
 
-    # pack ragged stats into one float array + lengths for the gather
-    flat = [np.concatenate([s[0], s[1], s[2]]) for s in stats]
+    # pack ragged stats into one float array + lengths
+    # float32 throughout: process_allgather ships via device arrays and
+    # would silently downcast float64 anyway (x64 disabled); tp/cls are
+    # small ints and conf is float32-native
+    flat = [np.concatenate([np.asarray(s[0], np.float32),
+                            np.asarray(s[1], np.float32),
+                            np.asarray(s[2], np.float32)]) for s in stats]
+    buf = np.concatenate(flat) if flat else np.zeros(0, np.float32)
     lens = np.asarray([len(s[0]) for s in stats], np.int32)
-    payload = {
-        "stats": np.concatenate(flat) if flat else np.zeros(0, np.float64),
-        "lens": lens,
-        "labels": np.asarray(labels, np.float64),
-    }
-    gathered = multihost_utils.process_allgather(payload)
+    labs = np.asarray(labels, np.float32)
+
+    # process_allgather requires IDENTICAL shapes on every host, but the
+    # per-host payloads are ragged: gather the sizes first, pad each
+    # array to the cross-host max, gather, then slice back per host.
+    sizes = np.asarray([buf.size, lens.size, labs.size], np.int32)
+    all_sizes = np.asarray(multihost_utils.process_allgather(sizes))
+    mb, ml, mg = all_sizes.max(axis=0)
+
+    def pad(a, n):
+        return np.concatenate([a, np.zeros(int(n) - a.size, a.dtype)])
+
+    gathered = multihost_utils.process_allgather({
+        "stats": pad(buf, mb), "lens": pad(lens, ml), "labels": pad(labs, mg),
+    })
 
     all_stats: List = []
     all_labels: List[float] = []
-    for h in range(len(gathered["lens"])):
+    for h in range(all_sizes.shape[0]):
+        hbuf = np.asarray(gathered["stats"][h])
+        hlens = np.asarray(gathered["lens"][h])[:int(all_sizes[h, 1])]
         offs = 0
-        buf = np.asarray(gathered["stats"][h])
-        for n in np.asarray(gathered["lens"][h]):
+        for n in hlens:
             n = int(n)
-            tp = buf[offs:offs + n]
-            conf = buf[offs + n:offs + 2 * n]
-            cls = buf[offs + 2 * n:offs + 3 * n]
+            tp = hbuf[offs:offs + n]
+            conf = hbuf[offs + n:offs + 2 * n]
+            cls = hbuf[offs + 2 * n:offs + 3 * n]
             all_stats.append((tp, conf, cls))
             offs += 3 * n
-        all_labels.extend(np.asarray(gathered["labels"][h]).tolist())
+        all_labels.extend(
+            np.asarray(gathered["labels"][h])[:int(all_sizes[h, 2])].tolist())
     return all_stats, all_labels
