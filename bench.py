@@ -7,6 +7,15 @@ Prints ONE JSON line:
 The baseline for vs_baseline is the BASELINE.json target of 5,000
 images/sec/chip fused inference at 352×352 (the reference itself has no
 TPU number; its 3.29 ms Kirin-990 latency ≈ 304 img/s).
+
+The compute path is the Pallas fused-inference pipeline
+(fastdet/kernels/fused_infer.py: transposed lane-packed span kernels +
+composed dw∘pw matmuls), which measures ~9% over the plain-XLA forward
+on v5e.  Latency is reported two ways: `p50_latency_ms_b1` is a single
+batch-1 dispatch (includes host→device transport — under the axon relay
+that is ~28 ms of tunnel overhead); `latency_ms_b1_chip` chains K
+batch-1 inferences inside ONE device program and reports per-step time,
+i.e. the on-chip latency a co-located server would see.
 """
 
 import json
@@ -44,31 +53,41 @@ def main():
     sync_mode = fetched.is_set()
 
     from fastdet.config import Config
+    from fastdet.kernels.fused_infer import build_fused_forward
     from fastdet.models import Detector
-    from fastdet.ops.postprocess import build_detect_fn
+    from fastdet.ops.postprocess import build_detect_fn, postprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
     cfg = Config.from_file(os.path.join(repo, "data", "coco.data")) \
         if os.path.exists(os.path.join(repo, "data", "coco.data")) \
         else Config.from_file("/root/reference/data/coco.data")
 
-    model = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num,
-                     dtype=jnp.bfloat16)
-
     npz = os.path.join(repo, "weights", "coco2017-ref.npz")
     if os.path.exists(npz):
         from fastdet.io.torch_convert import load_npz_variables
         variables = jax.tree.map(jnp.asarray, load_npz_variables(npz))
     else:
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, cfg.height, cfg.width, 3)),
-                               train=False)
+        model0 = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+        variables = model0.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, cfg.height, cfg.width, 3)),
+                                train=False)
+
+    anchors = jnp.asarray(
+        np.asarray(cfg.anchors, np.float32).reshape(cfg.num_scales,
+                                                    cfg.anchor_num, 2))
+    hw = (cfg.height, cfg.width)
+    fwd, packed = build_fused_forward(variables, input_hw=hw,
+                                      anchor_num=cfg.anchor_num,
+                                      classes=cfg.classes,
+                                      dtype=jnp.bfloat16)
 
     # serving-tuned: conf 0.3 rarely yields >100 candidates per image, so
-    # a 256-candidate NMS window is lossless in practice and 16x cheaper
-    # than the eval-grade 1024 window
-    detect = build_detect_fn(model, cfg, conf_thres=0.3, iou_thres=0.4,
-                             max_nms=256, dtype=jnp.bfloat16)
+    # a 256-candidate NMS window is lossless in practice and cheaper than
+    # the eval-grade 2048 window
+    def fused_detect(packed, images, anchors_arg):
+        outs = list(fwd(images, packed))
+        return postprocess(outs, anchors_arg, hw, conf_thres=0.3,
+                           iou_thres=0.4, max_nms=256)
 
     # Throughput pipeline: a lax.scan chains CHAIN batches inside ONE
     # program, the way a saturated serving loop feeds the chip — this
@@ -79,21 +98,10 @@ def main():
     chain = int(os.environ.get("FASTDET_BENCH_CHAIN", "32"))
     iters = int(os.environ.get("FASTDET_BENCH_ITERS", "5"))
 
-    from fastdet.ops.postprocess import postprocess
-    anchors = jnp.asarray(
-        np.asarray(cfg.anchors, np.float32).reshape(cfg.num_scales,
-                                                    cfg.anchor_num, 2))
-
     @jax.jit
-    def detect_chain(variables, images_k, anchors_arg):
+    def detect_chain(packed, images_k, anchors_arg):
         def body(_, imgs):
-            x = imgs.astype(jnp.bfloat16) / jnp.asarray(255., jnp.bfloat16)
-            outs = [o.astype(jnp.float32)
-                    for o in model.apply(variables, x, train=False)]
-            return None, postprocess(outs, anchors_arg,
-                                     (cfg.height, cfg.width),
-                                     conf_thres=0.3, iou_thres=0.4,
-                                     max_nms=256)
+            return None, fused_detect(packed, imgs, anchors_arg)
         _, outs = jax.lax.scan(body, None, images_k)
         return outs
 
@@ -101,27 +109,80 @@ def main():
     imgs_k = jax.device_put(jnp.asarray(rng.randint(
         0, 255, (chain, batch, cfg.height, cfg.width, 3), np.uint8)))
 
-    jax.block_until_ready(detect_chain(variables, imgs_k, anchors))
+    jax.block_until_ready(detect_chain(packed, imgs_k, anchors))
 
-    # p50 latency, batch 1 (single dispatch — includes transport overhead)
+    # batch-1 latency, single dispatch (includes transport overhead;
+    # dominated by the ~28 ms axon relay here, ~sub-ms on a local host)
     img1 = jax.device_put(jnp.asarray(
         rng.randint(0, 255, (1, cfg.height, cfg.width, 3), np.uint8)))
-    jax.block_until_ready(detect(variables, img1))
+    detect1 = jax.jit(fused_detect)
+    jax.block_until_ready(detect1(packed, img1, anchors))
     lat = []
     for _ in range(30):
         t0 = time.perf_counter()
-        jax.block_until_ready(detect(variables, img1))
+        jax.block_until_ready(detect1(packed, img1, anchors))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
+
+    # batch-1 latency, on-chip: K sequential batch-1 detects inside one
+    # program; the carried sum forces each step to finish before the next
+    k1 = 64
+    imgs_1k = jax.device_put(jnp.asarray(rng.randint(
+        0, 255, (k1, 1, cfg.height, cfg.width, 3), np.uint8)))
+
+    @jax.jit
+    def chain_b1(packed, images_k, anchors_arg):
+        def body(c, imgs):
+            dets, counts = fused_detect(packed, imgs, anchors_arg)
+            return c + dets.sum() + counts.sum().astype(jnp.float32), None
+        s, _ = jax.lax.scan(body, jnp.float32(0), images_k)
+        return s
+
+    jax.block_until_ready(chain_b1(packed, imgs_1k, anchors))
+    b1_ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain_b1(packed, imgs_1k, anchors))
+        b1_ts.append((time.perf_counter() - t0) / k1)
+    b1_chip_ms = float(min(b1_ts) * 1e3)
 
     # throughput: block every iteration; results stay on device (no
     # device_get — under the axon relay, blocking only on the final
     # dispatch under-reports because acks don't imply execution order)
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(detect_chain(variables, imgs_k, anchors))
+        jax.block_until_ready(detect_chain(packed, imgs_k, anchors))
     dt = (time.perf_counter() - t0) / iters
     img_per_s = chain * batch / dt
+
+    # stretch config: 640×640 streaming throughput (BASELINE.json)
+    img_s_640 = None
+    if os.environ.get("FASTDET_BENCH_640", "1") == "1":
+        fwd6, packed6 = build_fused_forward(variables, input_hw=(640, 640),
+                                            anchor_num=cfg.anchor_num,
+                                            classes=cfg.classes,
+                                            dtype=jnp.bfloat16)
+
+        @jax.jit
+        def chain640(packed, images_k, anchors_arg):
+            def body(_, imgs):
+                outs = list(fwd6(imgs, packed))
+                return None, postprocess(outs, anchors_arg, (640, 640),
+                                         conf_thres=0.3, iou_thres=0.4,
+                                         max_nms=256)
+            _, outs = jax.lax.scan(body, None, images_k)
+            return outs
+
+        b6, k6 = 64, 8
+        imgs6 = jax.device_put(jnp.asarray(rng.randint(
+            0, 255, (k6, b6, 640, 640, 3), np.uint8)))
+        jax.block_until_ready(chain640(packed6, imgs6, anchors))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain640(packed6, imgs6, anchors))
+            ts.append(time.perf_counter() - t0)
+        img_s_640 = round(k6 * b6 / min(ts), 1)
 
     result = {
         "metric": "fused_inference_images_per_sec_per_chip_352",
@@ -131,6 +192,9 @@ def main():
         "batch": batch,
         "chain": chain,
         "p50_latency_ms_b1": round(p50_ms, 3),
+        "latency_ms_b1_chip": round(b1_chip_ms, 3),
+        "img_s_640_streaming": img_s_640,
+        "kernel_path": "pallas_fused_transposed",
         "backend": jax.default_backend(),
         "sync_verified": bool(sync_mode),
     }

@@ -6,11 +6,17 @@ shapes the Pallas kernels consume:
 
   * pointwise convs   → (Cin, Cout) matrices
   * depthwise convs   → (kh, kw, C)
-  * stride-1 shuffle blocks additionally get the channel de-interleave
-    folded into their first matmul (odd-channel selection is a weight-row
-    gather) and 0/1 placement matrices that implement the passthrough /
-    concat as MXU matmuls — Mosaic has no strided lane slicing, and on
-    the MXU these selection matmuls are effectively free.
+  * stride-1 shuffle blocks are packed for the TRANSPOSED (C, N) lane
+    layout of the span kernels (fused_infer.py):
+      - `wa` (C, C): one merged first matmul whose top half is the
+        channel-de-interleave (odd select) folded into pw1, and whose
+        bottom half is the even-channel passthrough selection — MXU
+        M-utilisation doubles vs two half-height matmuls.
+      - `wc` (C/2, 9·C/2): the depthwise 3×3 COMPOSED with pw2 into one
+        full conv (legal because the reference has no ReLU between them,
+        model/backbone/shufflenetv2.py: dw+BN directly into pw+BN+ReLU):
+        wc[j, t·mid+c] = pw2[c,j]·dw_t[c].  Turns the VPU-bound dw taps
+        into a single MXU matmul with a deep K (9·C/2).
 
 All packing is host-side numpy, done once at build time.
 """
@@ -51,51 +57,43 @@ def _sel_odd(c: int) -> np.ndarray:
     return s
 
 
-def _place(c_half: int, c: int, offset: int) -> np.ndarray:
-    """(c_half, c) matrix placing a half-width tensor at column offset."""
-    p = np.zeros((c_half, c), np.float32)
-    p[np.arange(c_half), offset + np.arange(c_half)] = 1.0
-    return p
-
-
 def pack_s1_block(params: dict, stats: dict, c: int) -> Dict[str, np.ndarray]:
-    """Stride-1 ShuffleV2 block → fused-kernel weight dict.
+    """Stride-1 ShuffleV2 block → transposed-layout fused weights.
 
     Channel semantics folded in: even channels pass through to output
-    columns [0, c/2); main branch consumes odd channels and lands at
-    columns [c/2, c).
+    rows [0, c/2) (the bottom half of `wa`); the main branch consumes
+    odd channels (top half of `wa` = sel_odd∘pw1) and lands at output
+    rows [c/2, c) as `wc @ taps(relu(wa@x))`.
     """
     mid = c // 2
-    w1, b1 = _fold_pw(params["main_pw"], stats["main_pw"])
-    wd, bd = _fold_dw(params["main_dw"], stats["main_dw"])
+    w1, b1 = _fold_pw(params["main_pw"], stats["main_pw"])   # (c, mid)
+    wd, bd = _fold_dw(params["main_dw"], stats["main_dw"])   # (3,3,mid)
     w2, b2 = _fold_pw(params["main_pw_linear"], stats["main_pw_linear"])
-    sel_even = np.zeros((c, mid), np.float32)
-    sel_even[np.arange(0, c, 2), np.arange(mid)] = 1.0
-    return {
-        "w1": _sel_odd(c) @ w1,            # (c, mid): select odd + pw
-        "b1": b1,
-        "wd": wd, "bd": bd,                # (3,3,mid)
-        "w2": w2, "b2": b2,                # (mid, mid)
-        "p_pass": sel_even @ _place(mid, c, 0),   # (c, c)
-        "p_main": _place(mid, c, mid),            # (mid, c)
-    }
+    w1 = _sel_odd(c) @ w1                                    # (c, mid)
+    sel_even = np.zeros((mid, c), np.float32)
+    sel_even[np.arange(mid), np.arange(0, c, 2)] = 1.0
+    wa = np.concatenate([w1.T, sel_even], 0)                 # (c, c)
+    ba = np.concatenate([b1, np.zeros(mid, np.float32)])
+    # dw3x3 ∘ pw2 composed: no ReLU between them in the reference
+    wc = np.zeros((mid, 9 * mid), np.float32)
+    for t in range(9):
+        dy, dx = t // 3, t % 3
+        wc[:, t * mid:(t + 1) * mid] = w2.T * wd[dy, dx][None, :]
+    bc = w2.T @ bd + b2
+    return {"wa": wa, "ba": ba, "wc": wc, "bc": bc}
 
 
 def pack_s2_block(params: dict, stats: dict, cin: int, cout: int
                   ) -> Dict[str, np.ndarray]:
-    """Stride-2 ShuffleV2 block (kept for completeness; the orchestrator
-    currently runs these in XLA)."""
-    mid = cout // 2
-    out_main = cout - cin
+    """Stride-2 ShuffleV2 block (runs in XLA — strided spatial subsampling
+    has no efficient lane addressing in Mosaic)."""
     w1, b1 = _fold_pw(params["main_pw"], stats["main_pw"])
     wd, bd = _fold_dw(params["main_dw"], stats["main_dw"])
     w2, b2 = _fold_pw(params["main_pw_linear"], stats["main_pw_linear"])
     wpd, bpd = _fold_dw(params["proj_dw"], stats["proj_dw"])
     wpp, bpp = _fold_pw(params["proj_pw"], stats["proj_pw"])
     return {"w1": w1, "b1": b1, "wd": wd, "bd": bd, "w2": w2, "b2": b2,
-            "wpd": wpd, "bpd": bpd, "wpp": wpp, "bpp": bpp,
-            "p_proj": _place(cin, cout, 0),
-            "p_main": _place(out_main, cout, cin)}
+            "wpd": wpd, "bpd": bpd, "wpp": wpp, "bpp": bpp}
 
 
 def pack_dwconvblock(params: dict, stats: dict) -> Dict[str, np.ndarray]:

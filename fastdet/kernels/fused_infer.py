@@ -1,27 +1,35 @@
-"""Fused Pallas inference path: VMEM-resident block spans.
+"""Fused Pallas inference path: transposed lane-packed backbone spans.
 
-The XLA forward materializes every intermediate activation tensor in HBM
-(each ShuffleV2 block writes ~6 tensors), which makes this tiny,
-dw-conv-heavy network bandwidth-bound.  Here the stride-1 block spans of
-each backbone stage and the whole FPN+head pyramid run as per-image
-Pallas kernels: activations stay in VMEM across blocks, pointwise convs
-and the folded channel-shuffle/concat run on the MXU, and depthwise
-convs are unrolled tap accumulations on the VPU.  Only stage boundaries
-touch HBM.
+Design (round 2; replaces the round-1 flat (H·W, C) layout, which lost
+to XLA — 49 vs 29 µs/img end-to-end, b256 bf16):
 
-In-kernel layout: activations are FLAT (H·W, C) — Mosaic cannot shape-
-cast (h, w, c) → (h·w, c) for odd spatial sizes, so depthwise convs are
-computed directly on the flat layout as shifted-slice taps with a
-column-validity mask (a flat shift of (dy·W + dx) borrows pixels across
-row boundaries exactly where src_col leaves [0, W); masking those lanes
-reproduces zero padding).
+  * **Transposed (C, N) layout.**  Channels live on sublanes, the padded
+    per-image spatial extent on lanes, G images side by side
+    (N = G·pad128(H·W)).  The tiny channel counts of this net (24–96)
+    waste lanes in a (H·W, C) layout; transposed, every lane is busy and
+    matmul N is thousands wide.
+  * **dw3×3 ∘ pw2 composed into one MXU matmul.**  The reference has no
+    ReLU between the depthwise conv and the second pointwise
+    (/root/reference/model/backbone/shufflenetv2.py:25-32), so they fold
+    exactly into a single 3×3 full conv: z = Wc @ taps(y) with
+    K = 9·C/2 — deep-K MXU work instead of VPU tap accumulation.
+  * **bf16 lane rolls via f32 bitcast pairs.**  The 9 spatial taps are
+    lane rolls; Mosaic only rotates 32-bit data, but a bf16 (2r, 2r+1)
+    sublane pair bitcasts to one f32 row, rolls, and bitcasts back —
+    half the VPU move volume of rolling f32 activations.
+  * Cross-image/row/edge validity is a per-tap lane mask (a roll that
+    crosses an image's row or the image boundary is zeroed).
+  * Stem, maxpool, stride-2 blocks, FPN and heads stay in XLA: stride-2
+    spatial subsampling has no efficient lane addressing in Mosaic, and
+    XLA already runs the small FPN/head convs near-optimally (~2.7
+    µs/img measured).
 
-Kept in XLA (cheap / awkward in Mosaic): the 3×3 s2 stem conv, maxpool,
-the three stride-2 blocks, and the 2× nearest upsample + concat feeding
-the FPN's fine scale.
+Measured (1× v5e, b256 bf16, 12-step chain, carried-sum harness):
+full fused chain 40.6 µs/img vs 44.2 XLA — forward alone 25.8 vs 29.8.
 
 Numeric contract: identical to `Detector.apply(..., train=False)` with
-BN folded — validated against the linen model in tests.
+BN folded — validated in tests (f32 interpret mode ≤2e-4; bf16 on
+hardware within bf16 noise of the bf16 linen model).
 """
 
 from __future__ import annotations
@@ -38,121 +46,97 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastdet.kernels.fold import pack_fused_weights
 
-_STAGES = ((2, 4, 48), (3, 8, 96), (4, 4, 192))  # (stage, repeats, channels)
+# (stage id, repeats, channels); spatial H=W = input/8, /16, /32
+_STAGES = ((2, 4, 48), (3, 8, 96), (4, 4, 192))
+# max lanes per span program by channel count (measured VMEM limits on
+# v5e: the composed-matmul tap stack scales with C·N; beyond these the
+# Mosaic scoped-vmem allocator overflows)
+_LANE_BUDGET = {48: 8192, 96: 8192, 192: 2048}
 
 
-# ---------------------------------------------------------------- kernels
-
-def _matmul(x2, w, b):
-    y = lax.dot_general(x2, w, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-    return y + b.astype(jnp.float32)
-
-
-def _shift_flat(y, off, hw):
-    """Shift a (HW, C) array by `off` rows, zero-filling (static off)."""
-    if off == 0:
-        return y
-    if off > 0:
-        return jnp.pad(y[off:], ((0, off), (0, 0)))
-    return jnp.pad(y[:off], ((-off, 0), (0, 0)))
+def _pick_group(b: int, nimg: int, c: int) -> int:
+    """Largest power-of-2 divisor of b with g·nimg within the lane
+    budget (at 352² this lands on the measured sweet spots 4/16/16)."""
+    budget = _LANE_BUDGET.get(c, 4096)
+    g = 1
+    while (b % (g * 2) == 0) and (g * 2 * nimg <= budget):
+        g *= 2
+    return g
 
 
-def _dw_conv_flat(y, wd, bd, h, w, k):
-    """Depthwise k×k, pad k//2, stride 1, on FLAT (H·W, C)."""
-    return _dw_conv_group(y, wd, bd, h, w, k, 1)
+# ---------------------------------------------------------------- kernel
 
+def _span_kernel(x_ref, *refs, nblk: int, h: int, w: int, nimg: int,
+                 mid: int, dtype):
+    """`nblk` stride-1 ShuffleV2 blocks on a (1, C, N) VMEM block.
 
-def _dw_conv_group(y, wd, bd, h, w, k, g):
-    """Depthwise conv on (G·H·W, C) flat groups.  Flat shifts may borrow
-    pixels across row AND image boundaries; the validity mask covers
-    both: columns leaving [0, W) and rows leaving the image's row range
-    (the latter only matters within k//2 rows of an image edge, where
-    the row index modulo H wraps)."""
-    p = k // 2
-    ghw, c = y.shape
-    hw = h * w
-    idx = lax.broadcasted_iota(jnp.int32, (ghw, 1), 0)
-    col = idx % w
-    row = (idx // w) % h
-    acc = jnp.zeros((ghw, c), jnp.float32)
-    for dy in range(k):
-        for dx in range(k):
-            off = (dy - p) * w + (dx - p)
-            sh = _shift_flat(y, off, ghw)
-            mask = None
-            if dx != p:
-                mask = jnp.logical_and(col + (dx - p) >= 0,
-                                       col + (dx - p) < w)
-            if g > 1 and dy != p:
-                rmask = jnp.logical_and(row + (dy - p) >= 0,
-                                        row + (dy - p) < h)
-                mask = rmask if mask is None else jnp.logical_and(mask, rmask)
-            if mask is not None:
-                sh = jnp.where(mask, sh, 0)
-            acc = acc + (sh * wd[dy, dx]).astype(jnp.float32)
-    return acc + bd.astype(jnp.float32)
-
-
-def _s1_span_kernel(x_ref, *refs, n_blocks: int, h: int, w: int, c: int,
-                    g: int, dtype):
-    """n stride-1 ShuffleV2 blocks, activations resident in VMEM.
-
-    Per block the weight refs are (w1, b1, wd, bd, w2, b2, p_pass,
-    p_main); the final ref is the output.  x_ref block: (G, H·W, C) — a
-    group of G images per program amortizes per-program overhead; the
-    flat spatial axis is per-image, so group members never mix (shifts
-    operate on axis 1 only)."""
+    Per block: one merged (C,C) matmul (pw1+odd-select on top, even
+    passthrough below), 9 masked lane-rolls of the ReLU'd main branch,
+    one composed (C/2, 9·C/2) matmul, row-concat.  N = G·nimg lanes,
+    G images side by side; masks keep rolls from borrowing across rows,
+    images, or padding."""
     o_ref = refs[-1]
     wrefs = refs[:-1]
-    for gi in range(g):
-        x2 = x_ref[gi]
-        for i in range(n_blocks):
-            w1, b1, wd, bd, w2, b2, p_pass, p_main = wrefs[8 * i:8 * i + 8]
-            y = jnp.maximum(_matmul(x2, w1[...], b1[...]), 0.0).astype(dtype)
-            acc = _dw_conv_flat(y, wd[...], bd[...], h, w, 3).astype(dtype)
-            z = jnp.maximum(_matmul(acc, w2[...], b2[...]), 0.0).astype(dtype)
-            x2 = (_matmul(x2, p_pass[...], jnp.zeros((1,), dtype))
-                  + lax.dot_general(z, p_main[...], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                  ).astype(dtype)
-        o_ref[gi] = x2
+    n = x_ref.shape[-1]
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    li = lane % nimg
+    col = li % w
+    row = li // w
+    valid = []
+    for t in range(9):
+        dy, dx = t // 3 - 1, t % 3 - 1
+        valid.append((col + dx >= 0) & (col + dx < w)
+                     & (row + dy >= 0) & (row + dy < h))
+
+    def mm(a, b):
+        return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    packed_rolls = dtype == jnp.bfloat16
+
+    x = x_ref[0]
+    for i in range(nblk):
+        wa, ba, wc, bc = wrefs[4 * i:4 * i + 4]
+        a = mm(wa[...], x) + ba[...][:, None]
+        y = jnp.maximum(a[:mid], 0.)
+        xe = a[mid:].astype(dtype)
+        if packed_rolls:
+            # roll bf16 via f32 sublane pairs (Mosaic rolls need 32-bit)
+            ypk = pltpu.bitcast(y.astype(dtype), jnp.float32)
+        else:
+            ypk = y
+        taps = []
+        for t in range(9):
+            dy, dx = t // 3 - 1, t % 3 - 1
+            off = dy * w + dx
+            sh = pltpu.roll(ypk, (-off) % n, 1)
+            taps.append(jnp.where(valid[t], sh, 0.))
+        ystack = jnp.concatenate(taps, 0)
+        if packed_rolls:
+            ystack = pltpu.bitcast(ystack, dtype)
+        else:
+            ystack = ystack.astype(dtype)
+        z = jnp.maximum(mm(wc[...], ystack) + bc[...][:, None],
+                        0.).astype(dtype)
+        x = jnp.concatenate([xe, z], 0)
+    o_ref[0] = x
 
 
-def _dwconvblock_flat(s, wb: Dict[str, Any], h: int, w: int, dtype):
-    """Head DWConvBlock on flat layout: dw5+ReLU → pw → dw5+ReLU → pw."""
-    y = jnp.maximum(_dw_conv_flat(s, wb["dw1_w"][...], wb["dw1_b"][...],
-                                  h, w, 5), 0.0).astype(dtype)
-    y = _matmul(y, wb["pw1_w"][...], wb["pw1_b"][...]).astype(dtype)
-    y = jnp.maximum(_dw_conv_flat(y, wb["dw2_w"][...], wb["dw2_b"][...],
-                                  h, w, 5), 0.0).astype(dtype)
-    y = _matmul(y, wb["pw2_w"][...], wb["pw2_b"][...]).astype(dtype)
-    return y
-
-
-def _fpn_scale_kernel(x_ref, *refs, h: int, w: int, cin: int, cdepth: int,
-                      g: int, dtype):
-    """One FPN scale + shared output heads, fused.  x_ref: (G, H·W, Cin);
-    outputs (G, H·W, 4A/A/classes)."""
-    (c1w, c1b,
-     cd1w, cd1b, cp1w, cp1b, cd2w, cd2b, cp2w, cp2b,
-     rd1w, rd1b, rp1w, rp1b, rd2w, rd2b, rp2w, rp2b,
-     hrw, hrb, how, hob, hcw, hcb,
-     reg_ref, obj_ref, cls_ref) = refs
-
-    cls_wb = {"dw1_w": cd1w, "dw1_b": cd1b, "pw1_w": cp1w, "pw1_b": cp1b,
-              "dw2_w": cd2w, "dw2_b": cd2b, "pw2_w": cp2w, "pw2_b": cp2b}
-    reg_wb = {"dw1_w": rd1w, "dw1_b": rd1b, "pw1_w": rp1w, "pw1_b": rp1b,
-              "dw2_w": rd2w, "dw2_b": rd2b, "pw2_w": rp2w, "pw2_b": rp2b}
-
-    for gi in range(g):
-        s = jnp.maximum(_matmul(x_ref[gi], c1w[...], c1b[...]),
-                        0.0).astype(dtype)
-        cls_feat = _dwconvblock_flat(s, cls_wb, h, w, dtype)
-        reg_feat = _dwconvblock_flat(s, reg_wb, h, w, dtype)
-        reg_ref[gi] = _matmul(reg_feat, hrw[...], hrb[...])
-        obj_ref[gi] = _matmul(cls_feat, how[...], hob[...])
-        cls_ref[gi] = _matmul(cls_feat, hcw[...], hcb[...])
+def _span_call(xt, weights, nblk, h, w, nimg, c, dtype, interpret):
+    n = xt.shape[-1]
+    kern = functools.partial(_span_kernel, nblk=nblk, h=h, w=w, nimg=nimg,
+                             mid=c // 2, dtype=dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(xt.shape[0],),
+        in_specs=[pl.BlockSpec((1, c, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec((1, c, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xt.shape, dtype),
+        interpret=interpret,
+    )(xt, *weights)
 
 
 # ------------------------------------------------------------ XLA pieces
@@ -178,78 +162,44 @@ def _s2_block_xla(x, p, prefix, cin, cout, dtype):
     return jnp.concatenate([pr, y], axis=-1).astype(dtype)
 
 
-# ------------------------------------------------------------- builders
-
-def _pick_group(b, hw, c, budget_bytes=6 * 1024 * 1024):
-    """Largest divisor of b whose (G, HW, 128-padded C) bf16 working set
-    (×2 for double buffering + intermediates) stays under budget."""
-    lanes = ((c + 127) // 128) * 128
-    per_img = hw * lanes * 2 * 4   # ~4 live tensors incl. in/out blocks
-    g = max(1, budget_bytes // max(per_img, 1))
-    while b % g:
-        g -= 1
-    return g
-
-
-def _span_call(x, p, stage, n_blocks, h, w, c, dtype, interpret):
-    """x: (B, H·W, C) flat."""
-    names = ("w1", "b1", "wd", "bd", "w2", "b2", "p_pass", "p_main")
-    weights = [p[f"s{stage}_{i}_{n}"] for i in range(1, n_blocks + 1)
-               for n in names]
-    b = x.shape[0]
-    hw = h * w
-    g = _pick_group(b, hw, c)
-    kern = functools.partial(_s1_span_kernel, n_blocks=n_blocks, h=h, w=w,
-                             c=c, g=g, dtype=dtype)
-    return pl.pallas_call(
-        kern,
-        grid=(b // g,),
-        in_specs=[pl.BlockSpec((g, hw, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
-        out_specs=pl.BlockSpec((g, hw, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, c), dtype),
-        interpret=interpret,
-    )(x, *weights)
+def _dwcb_xla(x, p, head, dtype):
+    """Head DWConvblock in XLA with folded weights (ReLU between the dw
+    and pw convs here, so no composition is possible — and XLA already
+    runs these small convs near-optimally)."""
+    for dw, pw in ((f"{head}_dw1", f"{head}_pw1"),
+                   (f"{head}_dw2", f"{head}_pw2")):
+        wd = p[dw + "_w"][:, :, None, :]
+        x = jnp.maximum(_conv(x, wd.astype(dtype), 1, groups=x.shape[-1])
+                        + p[dw + "_b"], 0.0).astype(dtype)
+        x = (x @ p[pw + "_w"] + p[pw + "_b"]).astype(dtype)
+    return x
 
 
-def _fpn_call(x, p, scale, h, w, cin, cdepth, anchor_num, classes, dtype,
-              interpret):
-    """x: (B, H·W, Cin) flat → three (B, H·W, ·) fp32 outputs."""
-    s = scale
-    weights = [p[f"conv1x1_{s}_w"], p[f"conv1x1_{s}_b"]]
-    for head in (f"cls_head_{s}", f"reg_head_{s}"):
-        for n in ("dw1_w", "dw1_b", "pw1_w", "pw1_b",
-                  "dw2_w", "dw2_b", "pw2_w", "pw2_b"):
-            weights.append(p[f"{head}_{n}"])
-    for out in ("output_reg", "output_obj", "output_cls"):
-        weights.append(p[f"{out}_w"])
-        weights.append(p[f"{out}_b"])
+def _fpn_xla(c2, c3, p, dtype):
+    """LightFPN + shared heads in XLA with folded weights; returns the
+    raw-logit 6-tuple (reg2, obj2, cls2, reg3, obj3, cls3) in fp32."""
+    s3 = jnp.maximum(c3 @ p["conv1x1_3_w"] + p["conv1x1_3_b"],
+                     0.0).astype(dtype)
+    up = jnp.repeat(jnp.repeat(c3, 2, axis=1), 2, axis=2)
+    p2 = jnp.concatenate([up, c2], -1)
+    s2 = jnp.maximum(p2 @ p["conv1x1_2_w"] + p["conv1x1_2_b"],
+                     0.0).astype(dtype)
+    outs = []
+    for s, tag in ((s2, 2), (s3, 3)):
+        cls_f = _dwcb_xla(s, p, f"cls_head_{tag}", dtype)
+        reg_f = _dwcb_xla(s, p, f"reg_head_{tag}", dtype)
+        reg = (reg_f @ p["output_reg_w"]
+               + p["output_reg_b"]).astype(jnp.float32)
+        obj = (cls_f @ p["output_obj_w"]
+               + p["output_obj_b"]).astype(jnp.float32)
+        cls = (cls_f @ p["output_cls_w"]
+               + p["output_cls_b"]).astype(jnp.float32)
+        outs.append((reg, obj, cls))
+    (reg2, obj2, cls2), (reg3, obj3, cls3) = outs
+    return reg2, obj2, cls2, reg3, obj3, cls3
 
-    b = x.shape[0]
-    hw = h * w
-    g = _pick_group(b, hw, max(cin, classes))
-    kern = functools.partial(_fpn_scale_kernel, h=h, w=w, cin=cin,
-                             cdepth=cdepth, g=g, dtype=dtype)
-    out_shapes = tuple(
-        jax.ShapeDtypeStruct((b, hw, d), jnp.float32)
-        for d in (4 * anchor_num, anchor_num, classes))
-    out_specs = tuple(
-        pl.BlockSpec((g, hw, d), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for d in (4 * anchor_num, anchor_num, classes))
-    return pl.pallas_call(
-        kern,
-        grid=(b // g,),
-        in_specs=[pl.BlockSpec((g, hw, cin), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(x, *weights)
 
+# ------------------------------------------------------------- builder
 
 def build_fused_forward(variables: dict,
                         input_hw: Tuple[int, int] = (352, 352),
@@ -260,9 +210,12 @@ def build_fused_forward(variables: dict,
     forward_fn(images_u8_nhwc, packed) → raw-logit 6-tuple identical to
     Detector.apply(..., train=False).  `packed` must be passed through as
     a runtime argument (weights are never baked constants — see
-    fastdet/ops/postprocess.py for the compiler pathology)."""
-    packed = pack_fused_weights(variables)
-    packed = {k: jnp.asarray(v, dtype) for k, v in packed.items()}
+    fastdet/ops/postprocess.py for the compiler pathology).
+    `anchor_num`/`classes` are implied by the checkpoint; the arguments
+    exist for non-COCO head shapes (cites reference detector.py:17-19)."""
+    pk = pack_fused_weights(variables)
+    packed = {k: jnp.asarray(v, dtype if np.asarray(v).ndim > 1
+                             else jnp.float32) for k, v in pk.items()}
     ih, iw = input_hw
     h4, w4 = ih // 4, iw // 4          # after stem+pool
 
@@ -272,35 +225,31 @@ def build_fused_forward(variables: dict,
         x = jnp.maximum(x, 0.0).astype(dtype)
         x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
                               (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
-        h, w = h4, w4
-        feats = {}
-        cin = 24
         b = images.shape[0]
-        for stage, reps, c in _STAGES:
+        h, w = h4, w4
+        cin = 24
+        feats = {}
+        for sid, reps, c in _STAGES:
             h, w = h // 2, w // 2
-            x = _s2_block_xla(x, p, f"s{stage}_0", cin, c, dtype)
-            x = x.reshape(b, h * w, c)
-            x = _span_call(x, p, stage, reps - 1, h, w, c, dtype, interpret)
-            feats[stage] = x
-            x = x.reshape(b, h, w, c)
+            hw = h * w
+            nimg = ((hw + 127) // 128) * 128
+            g = _pick_group(b, nimg, c)
+            x = _s2_block_xla(x, p, f"s{sid}_0", cin, c, dtype)
+            # pack: (B,h,w,C) -> (B//g, C, g*nimg), zero-padded lanes
+            xt = x.reshape(b, hw, c)
+            xt = jnp.pad(xt, ((0, 0), (0, nimg - hw), (0, 0)))
+            xt = xt.transpose(0, 2, 1).reshape(b // g, g, c, nimg)
+            xt = xt.transpose(0, 2, 1, 3).reshape(b // g, c, g * nimg)
+            ws = [p[f"s{sid}_{i}_{nm}"] for i in range(1, reps)
+                  for nm in ("wa", "ba", "wc", "bc")]
+            xt = _span_call(xt, ws, reps - 1, h, w, nimg, c, dtype,
+                            interpret)
+            # unpack to NHWC for the next stride-2 block / FPN
+            xu = xt.reshape(b // g, c, g, nimg).transpose(0, 2, 1, 3)
+            xu = xu.reshape(b, c, nimg)[:, :, :hw].transpose(0, 2, 1)
+            x = xu.reshape(b, h, w, c)
+            feats[sid] = x
             cin = c
-
-        h2 = w2 = h4 // 4
-        h3 = w3 = h4 // 8
-        C2 = feats[3]                                  # (B, h2·w2, 96)
-        C3 = x                                         # (B, h3, w3, 192) NHWC
-        reg3, obj3, cls3 = _fpn_call(feats[4], p, 3, h3, w3, 192, 72,
-                                     anchor_num, classes, dtype, interpret)
-        up = jnp.repeat(jnp.repeat(C3, 2, axis=1), 2, axis=2)
-        P2 = jnp.concatenate([up, C2.reshape(b, h2, w2, 96)], axis=-1)
-        reg2, obj2, cls2 = _fpn_call(P2.reshape(b, h2 * w2, 288), p, 2,
-                                     h2, w2, 288, 72, anchor_num, classes,
-                                     dtype, interpret)
-
-        def unflat(t, h_, w_):
-            return t.reshape(b, h_, w_, t.shape[-1])
-        return (unflat(reg2, h2, w2), unflat(obj2, h2, w2),
-                unflat(cls2, h2, w2), unflat(reg3, h3, w3),
-                unflat(obj3, h3, w3), unflat(cls3, h3, w3))
+        return _fpn_xla(feats[3], feats[4], p, dtype)
 
     return forward, packed

@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--eval_every", type=int, default=150)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=0.002)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 activations in the train step (params "
+                         "stay fp32) — validates bf16 training accuracy")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="fuse K train steps into one device program")
     args = ap.parse_args()
 
     import jax
@@ -62,9 +67,12 @@ def main():
         "learning_rate": args.lr, "steps": [10_000], "subdivisions": 1,
         "batch_size": args.batch, "epochs": 1})
 
+    import jax.numpy as _jnp
     model = Detector(classes=3, anchor_num=3)
     # short warmup (5 "epochs" of 10 steps) so the run trains at full lr
-    trainer = Trainer(model, cfg, steps_per_epoch=10)
+    trainer = Trainer(model, cfg, steps_per_epoch=10,
+                      compute_dtype=_jnp.bfloat16 if args.bf16
+                      else _jnp.float32)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)), train=False)
     state = trainer.init_state(variables)
@@ -97,12 +105,24 @@ def main():
         res = evaluate(detect, ev, batches(), (size, size))
         return res[2] if res else 0.0
 
+    chained = trainer.make_chained_step(args.chain) if args.chain > 1 \
+        else None
     aps = [eval_ap(state)]
     print(f"step 0: mAP@0.5 = {aps[-1]:.4f}", flush=True)
     t0 = time.time()
-    for step in range(1, args.steps + 1):
-        batch = make_batch(args.batch)
-        state, metrics = trainer.step(state, *batch)
+    step = 0
+    while step < args.steps:
+        if chained is not None and step + args.chain <= args.steps \
+                and (step % args.eval_every) + args.chain <= args.eval_every:
+            parts = [make_batch(args.batch) for _ in range(args.chain)]
+            stacked = tuple(jnp.stack(x) for x in zip(*parts))
+            state, mk = chained(state, *stacked)
+            metrics = {k: v[-1] for k, v in mk.items()}
+            step += args.chain
+        else:
+            batch = make_batch(args.batch)
+            state, metrics = trainer.step(state, *batch)
+            step += 1
         if step % 50 == 0:
             print(f"step {step}: loss={float(metrics['total']):.3f} "
                   f"lr={float(metrics['lr']):.5f}", flush=True)
