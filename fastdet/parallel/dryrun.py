@@ -1,6 +1,12 @@
-"""Multi-chip dry run: jit the FULL data-parallel training step over an
-n-device mesh and execute one step on tiny shapes (works on virtual CPU
-devices via --xla_force_host_platform_device_count)."""
+"""Multi-chip dry run: jit the FULL training step over an n-device mesh
+and execute one step on tiny shapes (works on virtual CPU devices via
+--xla_force_host_platform_device_count).
+
+With >= 4 devices the mesh is 2-D (data, model): the batch shards over
+the data axis and conv channel dimensions shard over the model axis
+(tensor parallel, fastdet/parallel/tp.py) — both collective patterns
+(gradient all-reduce over data, channel resharding over model) compile
+and execute.  Below 4 devices it degrades to 1-D data parallel."""
 
 from __future__ import annotations
 
@@ -14,6 +20,7 @@ def run_dryrun(n_devices: int) -> None:
     from fastdet.config import Config
     from fastdet.models import Detector
     from fastdet.parallel.mesh import make_mesh, shard_batch
+    from fastdet.parallel.tp import make_mesh_2d
     from fastdet.train.trainer import Trainer
 
     assert len(jax.devices()) >= n_devices, (
@@ -26,7 +33,11 @@ def run_dryrun(n_devices: int) -> None:
         "learning_rate": 1e-3, "steps": [10, 20], "subdivisions": 1,
         "batch_size": 2 * n_devices, "epochs": 1,
     })
-    mesh = make_mesh(n_devices)
+    if n_devices >= 4:
+        n_model = 2
+        mesh = make_mesh_2d(n_devices // n_model, n_model)
+    else:
+        mesh = make_mesh(n_devices)
     model = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
     trainer = Trainer(model, cfg, steps_per_epoch=4, mesh=mesh)
 
@@ -50,5 +61,6 @@ def run_dryrun(n_devices: int) -> None:
     state, metrics = trainer.step(state, *batch)
     total = float(metrics["total"])
     assert np.isfinite(total), f"non-finite loss {total}"
-    print(f"dryrun_multichip({n_devices}): ok, loss={total:.4f}, "
-          f"lr={float(metrics['lr']):.2e}")
+    desc = "x".join(f"{mesh.shape[a]}{a[0]}" for a in mesh.axis_names)
+    print(f"dryrun_multichip({n_devices}): ok, mesh={desc}, "
+          f"loss={total:.4f}, lr={float(metrics['lr']):.2e}")

@@ -68,12 +68,17 @@ def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
                     input_hw: Tuple[int, int], subdivisions: int = 1,
                     mesh: Optional[Mesh] = None,
                     compute_dtype=jnp.float32,
-                    loss_fn_impl: Callable = compute_loss) -> Callable:
+                    loss_fn_impl: Callable = compute_loss,
+                    state_sharding=None) -> Callable:
     """Returns jitted `train_step(state, images_u8, labels, label_mask,
     anchors) -> (state, metrics)`.
 
     anchors is threaded as a runtime argument (never a baked constant —
     see fastdet/ops/postprocess.py for the compiler pathology).
+
+    `state_sharding`: optional NamedSharding pytree for the TrainState —
+    pass `fastdet.parallel.tp.state_shardings(...)` on a (data, model)
+    mesh for tensor-parallel channel sharding; default replicates.
     """
 
     def loss_fn(params, batch_stats, images, labels, label_mask, anchors):
@@ -124,9 +129,10 @@ def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(DATA_AXIS))
+        ss = state_sharding if state_sharding is not None else repl
         return jax.jit(step_fn,
-                       in_shardings=(repl, data, data, data, repl),
-                       out_shardings=(repl, repl),
+                       in_shardings=(ss, data, data, data, repl),
+                       out_shardings=(ss, repl),
                        donate_argnums=(0,))
     return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -148,15 +154,26 @@ class Trainer:
         self.anchors = jnp.asarray(
             np.asarray(cfg.anchors, np.float32).reshape(
                 cfg.num_scales, cfg.anchor_num, 2))
-        self.train_step = make_train_step(
-            model, self.tx, self.schedule, self.anchors,
+        self._make_step = functools.partial(
+            make_train_step, model, self.tx, self.schedule, self.anchors,
             (cfg.height, cfg.width),
             subdivisions=subdivisions or cfg.subdivisions or 1,
             mesh=mesh, compute_dtype=compute_dtype, loss_fn_impl=loss_fn)
+        # on a (data, model) mesh the jit needs the TrainState's sharding
+        # pytree, so it is built in init_state; 1-D/no-mesh builds eagerly
+        self._tensor_parallel = (mesh is not None
+                                 and "model" in mesh.axis_names)
+        self.train_step = None if self._tensor_parallel else self._make_step()
 
     def init_state(self, variables: dict) -> TrainState:
         state = create_train_state(self.model, variables, self.tx)
-        if self.mesh is not None:
+        if self._tensor_parallel:
+            from fastdet.parallel.tp import state_shardings
+            ss = state_shardings(state, self.mesh)
+            state = jax.tree.map(jax.device_put, state, ss)
+            if self.train_step is None:
+                self.train_step = self._make_step(state_sharding=ss)
+        elif self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             state = jax.device_put(state, repl)
         return state

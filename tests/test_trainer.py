@@ -237,3 +237,58 @@ def test_chained_train_steps():
     assert m_ch["total"].shape == (K,)
     np.testing.assert_allclose(float(m_ch["total"][-1]),
                                float(m_seq["total"]), rtol=1e-4)
+
+
+def test_tensor_parallel_matches_single_device():
+    """Training on a 2-D (data, model) mesh — batch sharded over data,
+    conv channel dims sharded over model (fastdet/parallel/tp.py) —
+    produces the same params as unsharded single-device training:
+    tensor-parallel sharding is a layout choice, GSPMD inserts the
+    collectives (SURVEY.md §5 comm-backend requirement, TP axis)."""
+    from fastdet.config import Config
+    from fastdet.models import Detector
+    from fastdet.parallel.mesh import shard_batch
+    from fastdet.parallel.tp import MODEL_AXIS, make_mesh_2d
+    from fastdet.train.trainer import Trainer
+
+    cfg = Config.from_dict({
+        "classes": 4, "width": 32, "height": 32, "anchor_num": 3,
+        "anchors": [4.0, 6.0, 9.0, 12.0, 16.0, 24.0,
+                    24.0, 16.0, 32.0, 40.0, 52.0, 48.0],
+        "learning_rate": 0.01, "steps": [1000], "subdivisions": 1,
+        "batch_size": 8, "epochs": 1})
+    model = Detector(classes=4, anchor_num=3)
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+
+    rng = np.random.RandomState(3)
+    images = rng.randint(0, 255, (2, 8, 32, 32, 3), np.uint8)
+    labels = np.zeros((2, 8, 4, 5), np.float32)
+    labels[..., 0, :] = [1, 0.5, 0.5, 0.5, 0.5]
+    mask = np.zeros((2, 8, 4), bool)
+    mask[..., 0] = True
+
+    tr1 = Trainer(model, cfg, steps_per_epoch=2)
+    s1 = tr1.init_state(jax.tree.map(jnp.copy, variables))
+    for i in range(2):
+        s1, m1 = tr1.step(s1, jnp.asarray(images[i]),
+                          jnp.asarray(labels[i]), jnp.asarray(mask[i]))
+
+    mesh = make_mesh_2d(4, 2)
+    tr2 = Trainer(model, cfg, steps_per_epoch=2, mesh=mesh)
+    s2 = tr2.init_state(jax.tree.map(jnp.copy, variables))
+    # channel dims must actually shard over the model axis
+    k = s2.params["backbone"]["first_conv"]["conv"]["kernel"]
+    assert MODEL_AXIS in str(k.sharding.spec), k.sharding
+    for i in range(2):
+        batch = shard_batch(mesh, (jnp.asarray(images[i]),
+                                   jnp.asarray(labels[i]),
+                                   jnp.asarray(mask[i])))
+        s2, m2 = tr2.step(s2, *batch)
+
+    assert np.allclose(float(m1["total"]), float(m2["total"]),
+                       rtol=1e-4), (m1, m2)
+    # cross-device reductions reassociate floats; diffs are O(1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-6)
