@@ -184,6 +184,41 @@ def main():
             ts.append(time.perf_counter() - t0)
         img_s_640 = round(k6 * b6 / min(ts), 1)
 
+    # optional: training throughput (chained steps, on-chip), off by
+    # default to keep the driver bench fast — FASTDET_BENCH_TRAIN=1
+    train_img_s = None
+    if os.environ.get("FASTDET_BENCH_TRAIN", "0") == "1":
+        from fastdet.train.trainer import Trainer
+        tb, tk = 256, 8
+        tcfg = Config.from_dict({
+            "classes": cfg.classes, "width": cfg.width,
+            "height": cfg.height, "anchor_num": cfg.anchor_num,
+            "anchors": list(np.asarray(cfg.anchors, np.float32)),
+            "learning_rate": 1e-3, "steps": [10_000], "subdivisions": 1,
+            "batch_size": tb, "epochs": 1})
+        model_t = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+        trainer = Trainer(model_t, tcfg, steps_per_epoch=100,
+                          compute_dtype=jnp.bfloat16)
+        tstate = trainer.init_state(jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.float32), variables))
+        chained = trainer.make_chained_step(tk)
+        timgs = jnp.asarray(rng.randint(
+            0, 255, (tk, tb, cfg.height, cfg.width, 3), np.uint8))
+        tlabs = np.zeros((tk, tb, 8, 5), np.float32)
+        tlabs[..., 0, :] = [1, 0.5, 0.5, 0.3, 0.3]
+        tmask = np.zeros((tk, tb, 8), bool)
+        tmask[..., 0] = True
+        tlabs, tmask = jnp.asarray(tlabs), jnp.asarray(tmask)
+        tstate, _ = chained(tstate, timgs, tlabs, tmask)
+        jax.block_until_ready(tstate.step)
+        tts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tstate, _ = chained(tstate, timgs, tlabs, tmask)
+            jax.block_until_ready(tstate.step)
+            tts.append(time.perf_counter() - t0)
+        train_img_s = round(tk * tb / min(tts), 1)
+
     result = {
         "metric": "fused_inference_images_per_sec_per_chip_352",
         "value": round(float(img_per_s), 1),
@@ -194,6 +229,7 @@ def main():
         "p50_latency_ms_b1": round(p50_ms, 3),
         "latency_ms_b1_chip": round(b1_chip_ms, 3),
         "img_s_640_streaming": img_s_640,
+        "train_img_s": train_img_s,
         "kernel_path": "pallas_fused_transposed",
         "backend": jax.default_backend(),
         "sync_verified": bool(sync_mode),

@@ -42,6 +42,46 @@ class DevicePipeline:
         return [dets[i, :counts[i]] for i in range(len(counts))]
 
 
+class ShardedPipeline:
+    """Data-parallel inference over a device mesh: the batch shards on
+    axis 0, params/anchors replicate, and the whole forward + decode +
+    NMS program runs SPMD — the serving analog of the DP train step
+    (the reference has no multi-device inference at all).
+
+    The batch must divide the mesh size; ragged tails are padded and
+    trimmed like StreamingPipeline."""
+
+    def __init__(self, model, variables, cfg: Config, mesh=None,
+                 conf_thres=0.3, iou_thres=0.45, max_det=300, max_nms=256):
+        import jax
+        import jax.numpy as jnp
+        from fastdet.ops.postprocess import build_detect_fn
+        from fastdet.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicated_sharding)
+        self._mesh = mesh if mesh is not None else make_mesh()
+        self._n_dev = self._mesh.size
+        self._data = batch_sharding(self._mesh)
+        self._repl = replicated_sharding(self._mesh)
+        self._variables = jax.device_put(variables, self._repl)
+        self._detect = build_detect_fn(model, cfg, conf_thres=conf_thres,
+                                       iou_thres=iou_thres, max_det=max_det,
+                                       max_nms=max_nms, dtype=model.dtype)
+
+    def __call__(self, images_u8: np.ndarray) -> List[np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+        n = len(images_u8)
+        pad = (-n) % self._n_dev
+        if pad:
+            images_u8 = np.concatenate(
+                [images_u8, np.zeros((pad,) + images_u8.shape[1:],
+                                     images_u8.dtype)])
+        images = jax.device_put(jnp.asarray(images_u8), self._data)
+        dets, counts = self._detect(self._variables, images)
+        dets, counts = np.asarray(dets), np.asarray(counts)
+        return [dets[i, :counts[i]] for i in range(n)]
+
+
 class StreamingPipeline:
     """Double-buffered frame-stream detection (the 640×640 streaming
     stretch config, BASELINE.json): host preprocessing of batch N+1

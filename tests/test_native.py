@@ -116,6 +116,27 @@ def test_hybrid_pipeline(native_lib, ref_variables, coco_cfg):
 
 
 @requires_reference
+def test_sharded_pipeline(ref_variables, coco_cfg):
+    """DP inference over the fake 8-device mesh == single-device
+    results, including a ragged (non-divisible) batch."""
+    from fastdet.serve import DevicePipeline, ShardedPipeline
+    img = cv2.resize(cv2.imread(GOLDEN_IMG), (352, 352),
+                     interpolation=cv2.INTER_LINEAR)
+    batch = np.stack([img] * 5)          # 5 % 8 != 0: exercises padding
+    model = Detector(classes=80, anchor_num=3)
+    ref = DevicePipeline(model, ref_variables, coco_cfg, conf_thres=0.3,
+                         iou_thres=0.4)(batch)
+    import jax
+    assert len(jax.devices()) == 8       # conftest fake mesh
+    shd = ShardedPipeline(model, ref_variables, coco_cfg, conf_thres=0.3,
+                          iou_thres=0.4)(batch)
+    assert len(shd) == 5
+    for r, s in zip(ref, shd):
+        assert len(r) == len(s)
+        np.testing.assert_allclose(s, r, atol=1e-4)
+
+
+@requires_reference
 def test_streaming_pipeline(native_lib, ref_variables, coco_cfg):
     """Frame stream -> ordered per-frame detections via double buffering."""
     from fastdet.serve import DevicePipeline, StreamingPipeline
