@@ -47,6 +47,20 @@ def _nms_single(boxes_xywh, obj, cls_scores, *, conf_thres, iou_thres,
     boxes_k = xywh2xyxy(boxes_xywh[order])
     cls_k = best_cls[order]
     valid_k = score_k > 0
+    return suppress_ranked(boxes_k, score_k, cls_k, valid_k,
+                           iou_thres=iou_thres, max_det=max_det)
+
+
+def suppress_ranked(boxes_k, score_k, cls_k, valid_k, *, iou_thres,
+                    max_det):
+    """Greedy class-aware suppression of score-DESCENDING candidates.
+
+    boxes_k (k,4) xyxy, score_k (k,) descending, cls_k (k,) int,
+    valid_k (k,) bool → ((max_det,6) [x1,y1,x2,y2,conf,cls], n_keep).
+    The tail of the reference NMS (utils/utils.py:283-296); split out so
+    callers that rank candidates themselves (fastdet/ops/postprocess.py's
+    top-k-first path) can reuse it."""
+    k = boxes_k.shape[0]
 
     # class-offset trick: boxes of different classes never overlap
     off_boxes = boxes_k + (cls_k.astype(boxes_k.dtype) * _MAX_WH)[:, None]

@@ -112,6 +112,56 @@ def test_nms_semantics_random():
     np.testing.assert_array_equal(dets[:count, 5].astype(int), j[keep])
 
 
+def test_topk_first_equals_dense():
+    """The production top-k-first postprocess (score factorization +
+    payload sort + post-selection decode) is BITWISE equal to the dense
+    decode-then-NMS composition for every serving/eval config."""
+    from fastdet.ops.postprocess import postprocess, postprocess_dense
+    rng = np.random.RandomState(3)
+    b = 4
+    outs = []
+    for (h, w) in ((22, 22), (11, 11)):
+        outs.append(jnp.asarray(rng.randn(b, h, w, 12).astype(np.float32)))
+        outs.append(jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32) - 2))
+        outs.append(jnp.asarray(rng.randn(b, h, w, 80).astype(np.float32) * 3))
+    anchors = jnp.asarray(np.array(
+        [12.64, 19.39, 37.88, 51.48, 55.71, 138.31,
+         126.91, 78.23, 131.57, 214.55, 279.92, 258.87],
+        np.float32).reshape(2, 3, 2))
+    for conf, mnms in ((0.3, 256), (0.01, 2048), (0.01, 1024)):
+        d1, c1 = postprocess_dense(outs, anchors, (352, 352),
+                                   conf_thres=conf, iou_thres=0.4,
+                                   max_nms=mnms)
+        d2, c2 = postprocess(outs, anchors, (352, 352), conf_thres=conf,
+                             iou_thres=0.4, max_nms=mnms)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        assert int(np.asarray(c1).sum()) > 0
+
+
+def test_topk_first_uniform_logits_ties():
+    """Tie handling: constant logits make every candidate score equal;
+    the payload sort must tie-break like top_k (original index order) so
+    the fast path still matches the dense path exactly."""
+    from fastdet.ops.postprocess import postprocess, postprocess_dense
+    b = 2
+    outs = []
+    for (h, w) in ((22, 22), (11, 11)):
+        outs.append(jnp.zeros((b, h, w, 12), jnp.float32))
+        outs.append(jnp.ones((b, h, w, 3), jnp.float32))
+        outs.append(jnp.zeros((b, h, w, 80), jnp.float32))
+    anchors = jnp.asarray(np.array(
+        [12.64, 19.39, 37.88, 51.48, 55.71, 138.31,
+         126.91, 78.23, 131.57, 214.55, 279.92, 258.87],
+        np.float32).reshape(2, 3, 2))
+    d1, c1 = postprocess_dense(outs, anchors, (352, 352), conf_thres=0.005,
+                               iou_thres=0.4, max_nms=2048)
+    d2, c2 = postprocess(outs, anchors, (352, 352), conf_thres=0.005,
+                         iou_thres=0.4, max_nms=2048)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
 def test_nms_empty():
     """No box above threshold → zero detections, zero-filled output."""
     boxes = jnp.ones((1, 10, 4)) * 50
