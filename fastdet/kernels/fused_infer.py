@@ -19,10 +19,14 @@ to XLA — 49 vs 29 µs/img end-to-end, b256 bf16):
     half the VPU move volume of rolling f32 activations.
   * Cross-image/row/edge validity is a per-tap lane mask (a roll that
     crosses an image's row or the image boundary is zeroed).
-  * Stem, maxpool, stride-2 blocks, FPN and heads stay in XLA: stride-2
-    spatial subsampling has no efficient lane addressing in Mosaic, and
-    XLA already runs the small FPN/head convs near-optimally (~2.7
-    µs/img measured).
+  * **Fused stem** (conv3×3 s2 + ReLU + maxpool3×3 s2 in one kernel)
+    when the input arrives in the s2d(4) uint8 host layout — see the
+    stem section below.  From NHWC device input the stem stays in XLA
+    (the device-side relayout costs more than the kernel saves).
+  * Stride-2 blocks, FPN and heads stay in XLA: stride-2 spatial
+    subsampling has no efficient lane addressing in Mosaic, and XLA
+    already runs the small FPN/head convs near-optimally (~2.7 µs/img
+    measured).
 
 Measured (1× v5e, b256 bf16, 12-step chain, carried-sum harness):
 full fused chain 40.6 µs/img vs 44.2 XLA — forward alone 25.8 vs 29.8.
@@ -139,6 +143,165 @@ def _span_call(xt, weights, nblk, h, w, nimg, c, dtype, interpret):
     )(xt, *weights)
 
 
+# ----------------------------------------------------- fused stem kernel
+#
+# stem conv (3×3 s2, 3→24) + ReLU + maxpool (3×3 s2) in ONE kernel on a
+# space-to-depth(4) uint8 input layout, via polyphase decomposition
+# (cites reference shufflenetv2.py:74-80):
+#
+#   * **Input contract**: (B, 48, pad128(H/4·W/4)) uint8 — raw pixels in
+#     s2d(4) channel-first order (channel = yoff·12 + xoff·3 + c, lanes
+#     the (H/4, W/4) stride-4 grid).  The host writes this layout at
+#     preprocess time for the same cost as NHWC (`pack_images_s2d`);
+#     /255 normalization is folded into the conv weights, so the device
+#     never touches the image before the kernel.
+#   * conv: output row Y = 2i+py reads input row 4i + 2py+ky-1 =
+#     4(i+du)+yoff with du∈{-1,0} — ALL FOUR conv phase planes
+#     (py,px)∈{0,1}² are linear in the same 4 lane-rolled tap images
+#     (du,dv)∈{-1,0}², and compute as ONE (96, 4·48)@(4·48, N) MXU
+#     matmul (dense-K utilisation instead of a C=3 conv XLA pads to 128
+#     lanes).  One u8→bf16 convert at (48,N); the 3 non-trivial tap
+#     rolls ride f32 bitcast pairs.
+#   * pool: pooled[i,j] = max over conv[2i+dy, 2j+dx]; the 9 terms
+#     reduce to 3 masked lane-rolls by factoring row-max before col-max
+#     (phase p1 shifted down supplies dy=-1; col phase px=1 shifted
+#     supplies dx=-1).  Maxes run on the bf16 cast — exact, because
+#     round-to-bf16 is monotone so cast(max(a,b)) == max(cast(a),
+#     cast(b)).
+#
+# Measured (1× v5e, b256 bf16, carried-sum chain harness): 3.2 µs/img
+# vs 6.6 for XLA's conv+reduce_window stem from NHWC u8 — the
+# (B,176,176,24) intermediate (380 MB per b256 batch written + re-read)
+# never exists.  NHWC device input keeps the XLA stem: producing the
+# s2d layout on device costs 7.4 µs/img (XLA relayout), more than it
+# saves — the win requires the host-side layout.
+
+_STEM_TAPS = ((-1, -1), (-1, 0), (0, -1), (0, 0))
+
+
+def pack_stem_s2d(stem_w: np.ndarray, stem_b: np.ndarray,
+                  scale: float = 1.0 / 255.0):
+    """Fold the (3,3,3,24) stem conv (+ input scale) into phase-matmul
+    form.
+
+    Returns (W (192,96), bias (96,)): W columns are the 4 output phase
+    slabs × 24 channels; rows are tap-major (du,dv)×48 s2d channels
+    (yoff·12 + xoff·3 + c, matching `pack_images_s2d` order)."""
+    w = np.zeros((192, 96), np.float32)
+    b = np.zeros((96,), np.float32)
+    for py in range(2):
+        for px in range(2):
+            ph = py * 2 + px
+            b[ph * 24:(ph + 1) * 24] = stem_b
+            for ky in range(3):
+                v = 2 * py + ky - 1
+                du, yoff = (-1, 3) if v < 0 else (0, v)
+                for kx in range(3):
+                    u = 2 * px + kx - 1
+                    dv, xoff = (-1, 3) if u < 0 else (0, u)
+                    t = _STEM_TAPS.index((du, dv))
+                    for c in range(3):
+                        w[t * 48 + yoff * 12 + xoff * 3 + c,
+                          ph * 24:(ph + 1) * 24] = stem_w[ky, kx, c] * scale
+    return w, b
+
+
+def pack_images_s2d(images):
+    """(B, H, W, 3) uint8 → (B, 48, pad128(H/4·W/4)) uint8 s2d layout.
+
+    Host-side input packing for `input_format="s2d_u8"`; works on numpy
+    or jax arrays (the C++ preprocess writes the same layout directly at
+    resize time — csrc/preprocess.cc)."""
+    xp = np if isinstance(images, np.ndarray) else jnp
+    b, ih, iw, _ = images.shape
+    h, w = ih // 4, iw // 4
+    hw = h * w
+    npad = ((hw + 127) // 128) * 128
+    x = images.reshape(b, h, 4, w, 4, 3)
+    x = x.transpose(0, 2, 4, 5, 1, 3).reshape(b, 48, hw)
+    return xp.pad(x, ((0, 0), (0, 0), (0, npad - hw)))
+
+
+def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, h: int, w: int,
+                 dtype, interpret: bool):
+    """One image: x (48, npad) uint8 s2d(4) planes → pooled (24, npad)
+    dtype, lanes the (h, w) stride-4 grid."""
+    n = x_ref.shape[-1]
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    col = lane % w
+    row = lane // w
+
+    x = x_ref[0]
+    if interpret:
+        xb = x.astype(dtype)
+        taps = []
+        for (du, dv) in _STEM_TAPS:
+            off = du * w + dv
+            sh = pltpu.roll(xb, (-off) % n, 1)
+            valid = (col + dv >= 0) & (row + du >= 0)
+            taps.append(jnp.where(valid, sh, jnp.asarray(0, dtype)))
+        stack = jnp.concatenate(taps, 0)
+    else:
+        # one u8→float convert at (48,n) (Mosaic has no u8→float direct;
+        # widen via i32), then taps as packed-pair lane rolls
+        xb = x.astype(jnp.int32).astype(jnp.float32).astype(dtype)
+        xp = (pltpu.bitcast(xb, jnp.float32)
+              if dtype == jnp.bfloat16 else xb)
+        taps = []
+        for (du, dv) in _STEM_TAPS:
+            off = du * w + dv
+            sh = pltpu.roll(xp, (-off) % n, 1)
+            valid = (col + dv >= 0) & (row + du >= 0)
+            taps.append(jnp.where(valid, sh, 0.))
+        stack = jnp.concatenate(taps, 0)
+        if dtype == jnp.bfloat16:
+            stack = pltpu.bitcast(stack, dtype)     # (192, n)
+
+    z = lax.dot_general(w_ref[...], stack, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    y = jnp.maximum(z + b_ref[...][:, None], 0.0)   # (96, n) f32
+    yb = y.astype(dtype)
+
+    neg = jnp.asarray(-jnp.inf, dtype)
+
+    def proll(a, shift):
+        if interpret or dtype == jnp.float32:
+            return pltpu.roll(a, shift, 1)
+        pk = pltpu.bitcast(a, jnp.float32)
+        return pltpu.bitcast(pltpu.roll(pk, shift, 1), dtype)
+
+    # pooled[i,j] = max_{dy,dx∈{-1,0,1}} conv[2i+dy, 2j+dx]
+    # rows: {p1[i-1], p0[i], p1[i]}; cols likewise over px
+    ph = [yb[k * 24:(k + 1) * 24] for k in range(4)]   # [py*2+px]
+    rmask = row >= 1
+    R = []
+    for px in range(2):
+        base = jnp.maximum(ph[px], ph[2 + px])
+        sh = jnp.where(rmask, proll(ph[2 + px], w), neg)
+        R.append(jnp.maximum(base, sh))
+    out = jnp.maximum(R[0], R[1])
+    out = jnp.maximum(out, jnp.where(col >= 1, proll(R[1], 1), neg))
+    o_ref[0] = out.astype(dtype)
+
+
+def _stem_call(xt, w96, b96, h, w, dtype, interpret):
+    b, _, npad = xt.shape
+    kern = functools.partial(_stem_kernel, h=h, w=w, dtype=dtype,
+                             interpret=interpret)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 48, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 24, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 24, npad), dtype),
+        interpret=interpret,
+    )(xt, w96, b96)
+
+
 # ------------------------------------------------------------ XLA pieces
 
 def _conv(x, w, stride, groups=1):
@@ -204,27 +367,58 @@ def _fpn_xla(c2, c3, p, dtype):
 def build_fused_forward(variables: dict,
                         input_hw: Tuple[int, int] = (352, 352),
                         anchor_num: int = 3, classes: int = 80,
-                        dtype=jnp.bfloat16, interpret: bool = False):
+                        dtype=jnp.bfloat16, interpret: bool = False,
+                        input_format: str = "nhwc"):
     """Returns (forward_fn, packed_weights).
 
-    forward_fn(images_u8_nhwc, packed) → raw-logit 6-tuple identical to
+    forward_fn(images, packed) → raw-logit 6-tuple identical to
     Detector.apply(..., train=False).  `packed` must be passed through as
     a runtime argument (weights are never baked constants — see
     fastdet/ops/postprocess.py for the compiler pathology).
     `anchor_num`/`classes` are implied by the checkpoint; the arguments
-    exist for non-COCO head shapes (cites reference detector.py:17-19)."""
+    exist for non-COCO head shapes (cites reference detector.py:17-19).
+
+    input_format:
+      * "nhwc"   — (B, H, W, 3) uint8; stem runs in XLA.
+      * "s2d_u8" — (B, 48, pad128(H/4·W/4)) uint8 from `pack_images_s2d`
+        (host-side layout); stem+pool run as one Pallas kernel, ~2×
+        faster than the XLA stem (see module header)."""
+    if input_format not in ("nhwc", "s2d_u8"):
+        raise ValueError(f"unknown input_format {input_format!r}")
+    if input_format == "s2d_u8":
+        npad_stem = ((input_hw[0] // 4) * (input_hw[1] // 4) + 127) \
+            // 128 * 128
+        if npad_stem > 10240:
+            # taps+stack+conv intermediates are ~1.2 kB/lane in VMEM;
+            # beyond ~10k lanes the Mosaic scoped-vmem allocator (16 MB)
+            # overflows.  352²→7808 lanes fits; 640²→25600 does not.
+            raise ValueError(
+                f"s2d_u8 stem needs {npad_stem} lanes in VMEM; max 10240 "
+                f"(input {input_hw}).  Use input_format='nhwc'.")
     pk = pack_fused_weights(variables)
+    sw96, sb96 = pack_stem_s2d(np.asarray(pk["stem_w"], np.float32),
+                               np.asarray(pk["stem_b"], np.float32))
+    pk["stem_w96"] = sw96
+    pk["stem_b96"] = sb96
     packed = {k: jnp.asarray(v, dtype if np.asarray(v).ndim > 1
                              else jnp.float32) for k, v in pk.items()}
     ih, iw = input_hw
     h4, w4 = ih // 4, iw // 4          # after stem+pool
+    hw4 = h4 * w4
 
     def forward(images, p):
-        x = images.astype(dtype) / jnp.asarray(255.0, dtype)
-        x = _conv(x, p["stem_w"], 2) + p["stem_b"]
-        x = jnp.maximum(x, 0.0).astype(dtype)
-        x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+        if input_format == "s2d_u8":
+            b = images.shape[0]
+            ys = _stem_call(images, p["stem_w96"], p["stem_b96"],
+                            h4, w4, dtype, interpret)
+            x = ys[:, :, :hw4].transpose(0, 2, 1).reshape(b, h4, w4, 24)
+        else:
+            x = images.astype(dtype) / jnp.asarray(255.0, dtype)
+            x = _conv(x, p["stem_w"], 2) + p["stem_b"]
+            x = jnp.maximum(x, 0.0).astype(dtype)
+            x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
+                                  (1, 2, 2, 1),
+                                  [(0, 0), (1, 1), (1, 1), (0, 0)])
         b = images.shape[0]
         h, w = h4, w4
         cin = 24

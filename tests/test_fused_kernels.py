@@ -30,6 +30,24 @@ def test_fused_forward_matches_linen(ref_variables):
                                    err_msg=f"output {i}")
 
 
+@requires_reference
+def test_fused_forward_s2d_matches_linen(ref_variables):
+    """The s2d_u8 input path (fused Pallas stem) matches the linen model."""
+    from fastdet.kernels.fused_infer import pack_images_s2d
+    model = Detector(classes=80, anchor_num=3)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randint(0, 255, (2, 352, 352, 3), np.uint8))
+    ref = model.apply(ref_variables, img.astype(jnp.float32) / 255.0,
+                      train=False)
+    fwd, packed = build_fused_forward(ref_variables, dtype=jnp.float32,
+                                      interpret=True,
+                                      input_format="s2d_u8")
+    outs = fwd(jnp.asarray(pack_images_s2d(np.asarray(img))), packed)
+    for i, (a, b) in enumerate(zip(ref, outs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=f"output {i}")
+
+
 def test_bn_fold_random_model():
     """BN folding alone (weight packing) reproduces eval-mode ConvBN."""
     from fastdet.kernels.fold import _fold_pw, _fold_dw
