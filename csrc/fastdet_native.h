@@ -50,6 +50,18 @@ int fd_preprocess_batch(const char** paths, int n, int dst_w, int dst_h,
 void fd_resize_bilinear(const uint8_t* src, int sh, int sw, int ch,
                         uint8_t* dst, int dh, int dw);
 
+/* Repack an (h, w, 3) uint8 image into the TPU fused-stem
+ * space-to-depth(4) layout: dst (48, npad) uint8, channel =
+ * yoff*12 + xoff*3 + c, lanes the (h/4, w/4) stride-4 grid, zero tail.
+ */
+void fd_pack_s2d(const uint8_t* src, int h, int w, uint8_t* dst,
+                 int npad);
+
+/* fd_preprocess_batch emitting the s2d(4) layout directly: out is
+ * (n, 48, pad128(dst_h/4 * dst_w/4)) uint8. */
+int fd_preprocess_batch_s2d(const char** paths, int n, int dst_w,
+                            int dst_h, int channels_bgr, uint8_t* out);
+
 /* Library version tag (for the ctypes wrapper to sanity check). */
 int fd_version(void);
 

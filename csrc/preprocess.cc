@@ -162,3 +162,54 @@ extern "C" int fd_preprocess_batch(const char** paths, int n, int dst_w,
   }
   return first_fail;
 }
+
+// Space-to-depth(4) channel-first repack for the TPU fused-stem input
+// contract (fastdet/kernels/fused_infer.py::pack_images_s2d): dst is
+// (48, npad) uint8, channel = yoff*12 + xoff*3 + c, lanes the
+// (h/4, w/4) stride-4 pixel grid (row-major), tail zero-padded.
+extern "C" void fd_pack_s2d(const uint8_t* src, int h, int w,
+                            uint8_t* dst, int npad) {
+  const int h4 = h / 4, w4 = w / 4;
+  const int hw = h4 * w4;
+  for (int yoff = 0; yoff < 4; ++yoff) {
+    for (int xoff = 0; xoff < 4; ++xoff) {
+      for (int c = 0; c < 3; ++c) {
+        uint8_t* plane = dst + (size_t)(yoff * 12 + xoff * 3 + c) * npad;
+        for (int i = 0; i < h4; ++i) {
+          const uint8_t* row = src + ((size_t)(4 * i + yoff) * w + xoff) * 3 + c;
+          uint8_t* o = plane + (size_t)i * w4;
+          for (int j = 0; j < w4; ++j) o[j] = row[(size_t)j * 12];
+        }
+        if (npad > hw) std::memset(plane + hw, 0, npad - hw);
+      }
+    }
+  }
+}
+
+// fd_preprocess_batch, but emitting the s2d(4) layout directly:
+// out is (n, 48, npad) uint8 with npad = pad128(dst_h/4 * dst_w/4).
+extern "C" int fd_preprocess_batch_s2d(const char** paths, int n,
+                                       int dst_w, int dst_h,
+                                       int channels_bgr, uint8_t* out) {
+  const int npad = ((dst_h / 4) * (dst_w / 4) + 127) / 128 * 128;
+  int first_fail = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    std::vector<uint8_t> rgb;
+    int h = 0, w = 0;
+    if (!load_image_rgb(paths[i], &rgb, &h, &w)) {
+#pragma omp critical
+      if (first_fail == 0 || i + 1 < first_fail) first_fail = i + 1;
+      continue;
+    }
+    if (channels_bgr) {
+      for (size_t p = 0; p < rgb.size(); p += 3)
+        std::swap(rgb[p], rgb[p + 2]);
+    }
+    std::vector<uint8_t> resized((size_t)dst_h * dst_w * 3);
+    fd_resize_bilinear(rgb.data(), h, w, 3, resized.data(), dst_h, dst_w);
+    fd_pack_s2d(resized.data(), dst_h, dst_w,
+                out + (size_t)i * 48 * npad, npad);
+  }
+  return first_fail;
+}

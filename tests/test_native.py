@@ -54,6 +54,22 @@ def test_preprocess_missing_file(native_lib, tmp_path):
         native.preprocess_batch([str(tmp_path / "nope.jpg")], 32, 32)
 
 
+def test_s2d_pack_matches_python(native_lib, tmp_path):
+    """fd_pack_s2d / fd_preprocess_batch_s2d emit exactly the layout the
+    fused-stem kernel consumes (fused_infer.pack_images_s2d)."""
+    from fastdet.kernels.fused_infer import pack_images_s2d
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 255, (2, 96, 64, 3), np.uint8)
+    np.testing.assert_array_equal(native.pack_s2d(imgs),
+                                  np.asarray(pack_images_s2d(imgs)))
+
+    p = str(tmp_path / "z.png")
+    cv2.imwrite(p, imgs[0])
+    via_nhwc = pack_images_s2d(native.preprocess_batch([p], 64, 96))
+    direct = native.preprocess_batch_s2d([p], 64, 96)
+    np.testing.assert_array_equal(direct, np.asarray(via_nhwc))
+
+
 @requires_reference
 def test_postprocess_matches_device_chain(native_lib, ref_variables,
                                           coco_cfg):
