@@ -5,13 +5,17 @@ Two deployment shapes, mirroring the reference's two inference paths
 
   * `DevicePipeline` — everything on-TPU in one XLA program (forward +
     decode + NMS).  Lowest latency, fixed max_det.
+  * `FusedPipeline` — the same single-program shape on the Pallas
+    fused-kernel path (the bench path), consuming the s2d(4) uint8
+    input layout the native preprocessor emits; fastest throughput.
   * `HybridPipeline` — the exported deploy graph on TPU (activation maps
     out), decode+NMS on host in the C++ runtime (OpenMP).  Matches the
     ncnn-style split: useful when postprocess must be host-side
     (dynamic det counts, custom filtering) and overlaps TPU/host work.
 
-Both consume raw uint8 NHWC image batches (the native preprocessor or
-the data pipeline produce them).
+DevicePipeline/HybridPipeline consume raw uint8 NHWC image batches (the
+native preprocessor or the data pipeline produce them); FusedPipeline
+takes NHWC or pre-packed s2d batches.
 """
 
 from __future__ import annotations
@@ -80,6 +84,80 @@ class ShardedPipeline:
         dets, counts = self._detect(self._variables, images)
         dets, counts = np.asarray(dets), np.asarray(counts)
         return [dets[i, :counts[i]] for i in range(n)]
+
+
+class FusedPipeline:
+    """The bench-grade serving path, productized: BN-folded Pallas fused
+    forward (fastdet/kernels/fused_infer.py) + on-device top-k decode +
+    NMS, consuming the s2d(4) uint8 input layout that the native
+    preprocessor emits directly (`native.preprocess_batch_s2d`).
+
+    Accepts NHWC uint8 batches (packed on the host automatically) or
+    pre-packed (B, 48, pad128(H/4·W/4)) uint8 batches; `from_files`
+    drives the full native decode→resize→pack→detect chain."""
+
+    def __init__(self, variables, cfg: Config, conf_thres=0.3,
+                 iou_thres=0.45, max_det=300, max_nms=256,
+                 dtype=None, interpret: bool = False):
+        import jax
+        import jax.numpy as jnp
+        from fastdet.kernels.fused_infer import (build_fused_forward,
+                                                 pack_images_s2d)
+        from fastdet.ops.postprocess import postprocess
+        if dtype is None:
+            dtype = jnp.bfloat16
+        self._cfg = cfg
+        self._hw = (cfg.height, cfg.width)
+        self._npad = ((cfg.height // 4) * (cfg.width // 4) + 127) \
+            // 128 * 128
+        self._pack_py = pack_images_s2d
+        self._anchors = jnp.asarray(
+            np.asarray(cfg.anchors, np.float32).reshape(
+                cfg.num_scales, cfg.anchor_num, 2))
+        fwd, self._packed = build_fused_forward(
+            variables, input_hw=self._hw, anchor_num=cfg.anchor_num,
+            classes=cfg.classes, dtype=dtype, interpret=interpret,
+            input_format="s2d_u8")
+
+        hw = self._hw
+
+        @jax.jit
+        def detect(packed, images, anchors):
+            outs = list(fwd(images, packed))
+            return postprocess(outs, anchors, hw, conf_thres=conf_thres,
+                               iou_thres=iou_thres, max_det=max_det,
+                               max_nms=max_nms)
+
+        self._detect = detect
+
+    def _pack(self, images_u8: np.ndarray) -> np.ndarray:
+        from fastdet import native
+        if native.available():
+            return native.pack_s2d(images_u8)
+        return np.asarray(self._pack_py(np.asarray(images_u8)))
+
+    def __call__(self, images_u8: np.ndarray) -> List[np.ndarray]:
+        import jax.numpy as jnp
+        x = np.asarray(images_u8)
+        if x.ndim == 4:                      # NHWC → pack on host
+            x = self._pack(x)
+        dets, counts = self._detect(self._packed, jnp.asarray(x),
+                                    self._anchors)
+        dets, counts = np.asarray(dets), np.asarray(counts)
+        return [dets[i, :counts[i]] for i in range(len(counts))]
+
+    def from_files(self, paths: Sequence[str]) -> List[np.ndarray]:
+        from fastdet import native
+        if native.available():
+            x = native.preprocess_batch_s2d(list(paths), self._cfg.width,
+                                            self._cfg.height)
+        else:                                # pure-python fallback
+            import cv2
+            imgs = np.stack([cv2.resize(cv2.imread(p), (self._cfg.width,
+                                                        self._cfg.height))
+                             for p in paths])
+            x = np.asarray(self._pack_py(imgs))
+        return self(x)
 
 
 class StreamingPipeline:

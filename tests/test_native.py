@@ -132,6 +132,30 @@ def test_hybrid_pipeline(native_lib, ref_variables, coco_cfg):
 
 
 @requires_reference
+def test_fused_pipeline(native_lib, ref_variables, coco_cfg):
+    """FusedPipeline (s2d input + Pallas stem, f32 interpret on CPU)
+    matches DevicePipeline detections on the golden image, from both an
+    NHWC batch and the native file-path chain."""
+    import jax.numpy as jnp
+    from fastdet.serve import DevicePipeline, FusedPipeline
+    img = cv2.resize(cv2.imread(GOLDEN_IMG), (352, 352),
+                     interpolation=cv2.INTER_LINEAR)[None]
+    model = Detector(classes=80, anchor_num=3)
+    dev = DevicePipeline(model, ref_variables, coco_cfg, conf_thres=0.3,
+                         iou_thres=0.4)(img)
+    fused = FusedPipeline(ref_variables, coco_cfg, conf_thres=0.3,
+                          iou_thres=0.4, dtype=jnp.float32, interpret=True)
+    got = fused(img)
+    assert len(got[0]) == len(dev[0])
+    np.testing.assert_allclose(got[0][:, :5], dev[0][:, :5], atol=1e-2)
+
+    via_files = fused.from_files([GOLDEN_IMG])
+    # native resize differs from cv2 by <=2 ulp of u8; boxes stay put
+    assert len(via_files[0]) == len(dev[0])
+    np.testing.assert_allclose(via_files[0][:, :4], dev[0][:, :4], atol=2.0)
+
+
+@requires_reference
 def test_sharded_pipeline(ref_variables, coco_cfg):
     """DP inference over the fake 8-device mesh == single-device
     results, including a ragged (non-divisible) batch."""
