@@ -94,11 +94,16 @@ class FusedPipeline:
 
     Accepts NHWC uint8 batches (packed on the host automatically) or
     pre-packed (B, 48, pad128(H/4·W/4)) uint8 batches; `from_files`
-    drives the full native decode→resize→pack→detect chain."""
+    drives the full native decode→resize→pack→detect chain.
+
+    Pass `mesh` (a `jax.sharding.Mesh`) for data-parallel SPMD serving:
+    batches shard on axis 0 over every mesh axis, packed weights and
+    anchors replicate, and ragged batches are padded to the mesh size
+    and trimmed (same contract as ShardedPipeline)."""
 
     def __init__(self, variables, cfg: Config, conf_thres=0.3,
                  iou_thres=0.45, max_det=300, max_nms=256,
-                 dtype=None, interpret: bool = False):
+                 dtype=None, interpret: bool = False, mesh=None):
         import jax
         import jax.numpy as jnp
         from fastdet.kernels.fused_infer import (build_fused_forward,
@@ -119,6 +124,17 @@ class FusedPipeline:
             classes=cfg.classes, dtype=dtype, interpret=interpret,
             input_format="s2d_u8")
 
+        self._mesh = mesh
+        self._n_dev = 1
+        if mesh is not None:
+            from fastdet.parallel.mesh import (batch_sharding,
+                                               replicated_sharding)
+            self._n_dev = mesh.size
+            self._data = batch_sharding(mesh)
+            repl = replicated_sharding(mesh)
+            self._packed = jax.device_put(self._packed, repl)
+            self._anchors = jax.device_put(self._anchors, repl)
+
         hw = self._hw
 
         @jax.jit
@@ -137,14 +153,23 @@ class FusedPipeline:
         return np.asarray(self._pack_py(np.asarray(images_u8)))
 
     def __call__(self, images_u8: np.ndarray) -> List[np.ndarray]:
+        import jax
         import jax.numpy as jnp
         x = np.asarray(images_u8)
         if x.ndim == 4:                      # NHWC → pack on host
             x = self._pack(x)
-        dets, counts = self._detect(self._packed, jnp.asarray(x),
-                                    self._anchors)
+        n = len(x)
+        if self._mesh is not None:
+            pad = (-n) % self._n_dev
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            x = jax.device_put(jnp.asarray(x), self._data)
+        else:
+            x = jnp.asarray(x)
+        dets, counts = self._detect(self._packed, x, self._anchors)
         dets, counts = np.asarray(dets), np.asarray(counts)
-        return [dets[i, :counts[i]] for i in range(len(counts))]
+        return [dets[i, :counts[i]] for i in range(n)]
 
     def from_files(self, paths: Sequence[str]) -> List[np.ndarray]:
         from fastdet import native

@@ -156,6 +156,30 @@ def test_fused_pipeline(native_lib, ref_variables, coco_cfg):
 
 
 @requires_reference
+def test_fused_pipeline_sharded(native_lib, ref_variables, coco_cfg):
+    """FusedPipeline over the fake 8-device mesh == single-device fused
+    results, ragged batch included."""
+    import jax
+    import jax.numpy as jnp
+    from fastdet.parallel.mesh import make_mesh
+    from fastdet.serve import FusedPipeline
+    img = cv2.resize(cv2.imread(GOLDEN_IMG), (352, 352),
+                     interpolation=cv2.INTER_LINEAR)
+    batch = np.stack([img] * 5)          # 5 % 8 != 0: exercises padding
+    single = FusedPipeline(ref_variables, coco_cfg, conf_thres=0.3,
+                           iou_thres=0.4, dtype=jnp.float32,
+                           interpret=True)(batch)
+    assert len(jax.devices()) == 8
+    shd = FusedPipeline(ref_variables, coco_cfg, conf_thres=0.3,
+                        iou_thres=0.4, dtype=jnp.float32, interpret=True,
+                        mesh=make_mesh())(batch)
+    assert len(shd) == 5
+    for r, s in zip(single, shd):
+        assert len(r) == len(s)
+        np.testing.assert_allclose(s, r, atol=1e-4)
+
+
+@requires_reference
 def test_sharded_pipeline(ref_variables, coco_cfg):
     """DP inference over the fake 8-device mesh == single-device
     results, including a ragged (non-divisible) batch."""
