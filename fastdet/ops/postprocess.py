@@ -36,7 +36,8 @@ def postprocess_dense(outputs, anchors, input_hw, *, conf_thres=0.3,
 
 
 def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
-                iou_thres=0.45, max_det=300, max_nms=1024):
+                iou_thres=0.45, max_det=300, max_nms=1024,
+                nms_kernel=None):
     """Decode + NMS on a raw 6-tuple of head outputs — top-k-first.
 
     Equal output to `postprocess_dense` (the reference chain,
@@ -60,6 +61,10 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
       * cell/anchor/stride geometry is reconstructed arithmetically from
         the flat candidate index (flatten order (h, w, anchor), stride-16
         scale first — identical to decode_outputs).
+
+    nms_kernel: run the greedy suppression as the VMEM-resident Pallas
+    kernel (fastdet/kernels/nms_kernel.py — exact-equal, ~6× less HBM
+    traffic); None → auto (True on the TPU backend).
     """
     num_scales = len(outputs) // 3
     b = outputs[0].shape[0]
@@ -125,6 +130,12 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     boxes_k = xywh2xyxy(jnp.concatenate([xy, wh], axis=-1))
     valid_k = score_k > 0
 
+    if nms_kernel is None:
+        nms_kernel = jax.default_backend() == "tpu"
+    if nms_kernel:
+        from fastdet.kernels.nms_kernel import suppress_ranked_batch
+        return suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k,
+                                     iou_thres=iou_thres, max_det=max_det)
     fn = functools.partial(suppress_ranked, iou_thres=iou_thres,
                            max_det=max_det)
     return jax.vmap(fn)(boxes_k, score_k, cls_k, valid_k)

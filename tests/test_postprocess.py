@@ -112,6 +112,37 @@ def test_nms_semantics_random():
     np.testing.assert_array_equal(dets[:count, 5].astype(int), j[keep])
 
 
+def test_suppress_kernel_equals_xla():
+    """The Pallas suppression kernel (interpret mode) is exact-equal to
+    the vmapped XLA fixpoint, including long suppression chains and
+    all-invalid rows."""
+    import functools
+    import jax
+    from fastdet.kernels.nms_kernel import suppress_ranked_batch
+    from fastdet.ops.nms import suppress_ranked
+
+    rng = np.random.RandomState(11)
+    b, k = 4, 128
+    # overlapping chains: many boxes sharing centers → deep dependency
+    cxy = rng.rand(b, k, 2).astype(np.float32) * 60      # crowded field
+    wh = rng.rand(b, k, 2).astype(np.float32) * 40 + 10
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+    score = np.sort(rng.rand(b, k).astype(np.float32))[:, ::-1].copy()
+    cls = rng.randint(0, 3, (b, k))
+    valid = rng.rand(b, k) > 0.2
+    valid[-1, :] = False                                  # empty image
+    score = np.where(valid, score, -1.0).astype(np.float32)
+
+    args = (jnp.asarray(boxes), jnp.asarray(score), jnp.asarray(cls),
+            jnp.asarray(valid))
+    fn = functools.partial(suppress_ranked, iou_thres=0.4, max_det=50)
+    ref_det, ref_n = jax.vmap(fn)(*args)
+    got_det, got_n = suppress_ranked_batch(*args, iou_thres=0.4,
+                                           max_det=50, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_n), np.asarray(got_n))
+    np.testing.assert_array_equal(np.asarray(ref_det), np.asarray(got_det))
+
+
 def test_topk_first_equals_dense():
     """The production top-k-first postprocess (score factorization +
     payload sort + post-selection decode) is BITWISE equal to the dense
