@@ -164,11 +164,12 @@ def main():
     # stretch config: 640×640 streaming throughput (BASELINE.json)
     img_s_640 = None
     if os.environ.get("FASTDET_BENCH_640", "1") == "1":
-        # 640² exceeds the fused-stem VMEM bound; NHWC + XLA stem here
+        # 640² runs the row-chunked fused stem (s2d input layout)
         fwd6, packed6 = build_fused_forward(variables, input_hw=(640, 640),
                                             anchor_num=cfg.anchor_num,
                                             classes=cfg.classes,
-                                            dtype=jnp.bfloat16)
+                                            dtype=jnp.bfloat16,
+                                            input_format="s2d_u8")
 
         @jax.jit
         def chain640(packed, images_k, anchors_arg):
@@ -182,7 +183,7 @@ def main():
 
         b6, k6 = 64, 8
         imgs6 = jax.device_put(jnp.asarray(rng.randint(
-            0, 255, (k6, b6, 640, 640, 3), np.uint8)))
+            0, 255, (k6, b6, 48, 160 * 160), np.uint8)))
         jax.block_until_ready(chain640(packed6, imgs6, anchors))
         ts = []
         for _ in range(3):

@@ -222,16 +222,16 @@ def pack_images_s2d(images):
     return xp.pad(x, ((0, 0), (0, 0), (0, npad - hw)))
 
 
-def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, h: int, w: int,
-                 dtype, interpret: bool):
-    """One image: x (48, npad) uint8 s2d(4) planes → pooled (24, npad)
-    dtype, lanes the (h, w) stride-4 grid."""
-    n = x_ref.shape[-1]
+def _stem_body(x, w: int, rthr, w_ref, b_ref, dtype, interpret: bool):
+    """x (48, n) uint8 s2d(4) planes → pooled (24, n) dtype, lanes a
+    (rows, w) stride-4 grid.  `rthr`: first row whose pool may reach one
+    row up (1 unchunked; traced per-chunk when chunked — the halo row
+    supplies dy=-1 for every later row)."""
+    n = x.shape[-1]
     lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     col = lane % w
     row = lane // w
 
-    x = x_ref[0]
     if interpret:
         xb = x.astype(dtype)
         taps = []
@@ -273,7 +273,7 @@ def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, h: int, w: int,
     # pooled[i,j] = max_{dy,dx∈{-1,0,1}} conv[2i+dy, 2j+dx]
     # rows: {p1[i-1], p0[i], p1[i]}; cols likewise over px
     ph = [yb[k * 24:(k + 1) * 24] for k in range(4)]   # [py*2+px]
-    rmask = row >= 1
+    rmask = row >= rthr
     R = []
     for px in range(2):
         base = jnp.maximum(ph[px], ph[2 + px])
@@ -281,12 +281,34 @@ def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, h: int, w: int,
         R.append(jnp.maximum(base, sh))
     out = jnp.maximum(R[0], R[1])
     out = jnp.maximum(out, jnp.where(col >= 1, proll(R[1], 1), neg))
-    o_ref[0] = out.astype(dtype)
+    return out.astype(dtype)
+
+
+def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, w: int, dtype,
+                 interpret: bool):
+    """One whole image per program: x (1, 48, npad) u8 → (1, 24, npad)."""
+    o_ref[0] = _stem_body(x_ref[0], w, 1, w_ref, b_ref, dtype, interpret)
+
+
+def _stem_kernel_chunk(x_ref, w_ref, b_ref, o_ref, *, w: int, dtype,
+                       interpret: bool):
+    """One row-chunk per program: x (1, 1, 48, Lpad) u8 holding rows
+    [c·r−1, (c+1)·r) of the s2d grid (zero halo row for c=0) →
+    (1, 1, 24, Lpad); the caller discards each chunk's first output row.
+
+    With the halo in-band, conv taps that reach up land on real data
+    (or the zero halo ≡ conv zero padding); only the POOL's dy=-1 term
+    at the true image top (chunk 0, within-chunk row 1) must be masked
+    — reduce_window pads with -inf, not zeros."""
+    c = pl.program_id(1)
+    rthr = jnp.where(c == 0, 2, 0)
+    o_ref[0, 0] = _stem_body(x_ref[0, 0], w, rthr, w_ref, b_ref, dtype,
+                             interpret)
 
 
 def _stem_call(xt, w96, b96, h, w, dtype, interpret):
     b, _, npad = xt.shape
-    kern = functools.partial(_stem_kernel, h=h, w=w, dtype=dtype,
+    kern = functools.partial(_stem_kernel, w=w, dtype=dtype,
                              interpret=interpret)
     return pl.pallas_call(
         kern,
@@ -300,6 +322,52 @@ def _stem_call(xt, w96, b96, h, w, dtype, interpret):
         out_shape=jax.ShapeDtypeStruct((b, 24, npad), dtype),
         interpret=interpret,
     )(xt, w96, b96)
+
+
+_STEM_LANE_BUDGET = 8192  # per-program lanes; ~1.2 kB VMEM per lane
+
+
+def _stem_chunk_rows(h: int, w: int) -> int:
+    """Largest divisor r of h with (r+1)·w within the VMEM lane budget."""
+    best = 0
+    for r in range(1, h + 1):
+        if h % r == 0 and (r + 1) * w <= _STEM_LANE_BUDGET:
+            best = r
+    if best == 0:
+        raise ValueError(f"image row of {w} s2d lanes exceeds the stem "
+                         f"kernel's VMEM budget ({_STEM_LANE_BUDGET})")
+    return best
+
+
+def _stem_call_chunked(xt, w96, b96, h, w, dtype, interpret):
+    """Fused stem for inputs too large for one program: row-chunks with
+    a one-row halo.  xt (B, 48, npad) u8 → (B, 24, h·w) dtype."""
+    b, _, npad = xt.shape
+    hw = h * w
+    r = _stem_chunk_rows(h, w)
+    nc = h // r
+    lh = (r + 1) * w
+    lpad = (lh + 127) // 128 * 128
+    # halo: one zero row in front, then chunk c = lanes [c·r·w, c·r·w+lh)
+    xp = jnp.pad(xt[:, :, :hw], ((0, 0), (0, 0), (w, lpad - w)))
+    xc = jnp.stack([xp[:, :, c * r * w:c * r * w + lpad]
+                    for c in range(nc)], 1)          # (B, nc, 48, lpad)
+    kern = functools.partial(_stem_kernel_chunk, w=w, dtype=dtype,
+                             interpret=interpret)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, nc),
+        in_specs=[pl.BlockSpec((1, 1, 48, lpad), lambda i, c: (i, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 24, lpad), lambda i, c: (i, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nc, 24, lpad), dtype),
+        interpret=interpret,
+    )(xc, w96, b96)
+    kept = out[:, :, :, w:w + r * w]                 # drop halo-row output
+    return kept.transpose(0, 2, 1, 3).reshape(b, 24, hw)
 
 
 # ------------------------------------------------------------ XLA pieces
@@ -385,16 +453,11 @@ def build_fused_forward(variables: dict,
         faster than the XLA stem (see module header)."""
     if input_format not in ("nhwc", "s2d_u8"):
         raise ValueError(f"unknown input_format {input_format!r}")
-    if input_format == "s2d_u8":
-        npad_stem = ((input_hw[0] // 4) * (input_hw[1] // 4) + 127) \
-            // 128 * 128
-        if npad_stem > 10240:
-            # taps+stack+conv intermediates are ~1.2 kB/lane in VMEM;
-            # beyond ~10k lanes the Mosaic scoped-vmem allocator (16 MB)
-            # overflows.  352²→7808 lanes fits; 640²→25600 does not.
-            raise ValueError(
-                f"s2d_u8 stem needs {npad_stem} lanes in VMEM; max 10240 "
-                f"(input {input_hw}).  Use input_format='nhwc'.")
+    # whole-image stem programs hold ~1.2 kB VMEM per lane; larger
+    # inputs (640² → 25600 lanes) go through the row-chunked stem
+    stem_chunked = input_format == "s2d_u8" and \
+        ((input_hw[0] // 4) * (input_hw[1] // 4) + 127) // 128 * 128 \
+        > _STEM_LANE_BUDGET
     pk = pack_fused_weights(variables)
     sw96, sb96 = pack_stem_s2d(np.asarray(pk["stem_w"], np.float32),
                                np.asarray(pk["stem_b"], np.float32))
@@ -409,9 +472,14 @@ def build_fused_forward(variables: dict,
     def forward(images, p):
         if input_format == "s2d_u8":
             b = images.shape[0]
-            ys = _stem_call(images, p["stem_w96"], p["stem_b96"],
-                            h4, w4, dtype, interpret)
-            x = ys[:, :, :hw4].transpose(0, 2, 1).reshape(b, h4, w4, 24)
+            if stem_chunked:
+                ys = _stem_call_chunked(images, p["stem_w96"],
+                                        p["stem_b96"], h4, w4, dtype,
+                                        interpret)
+            else:
+                ys = _stem_call(images, p["stem_w96"], p["stem_b96"],
+                                h4, w4, dtype, interpret)[:, :, :hw4]
+            x = ys.transpose(0, 2, 1).reshape(b, h4, w4, 24)
         else:
             x = images.astype(dtype) / jnp.asarray(255.0, dtype)
             x = _conv(x, p["stem_w"], 2) + p["stem_b"]

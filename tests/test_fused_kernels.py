@@ -48,6 +48,38 @@ def test_fused_forward_s2d_matches_linen(ref_variables):
                                    err_msg=f"output {i}")
 
 
+def test_chunked_stem_exact(monkeypatch):
+    """The row-chunked fused stem (halo rows, per-chunk pool masking) is
+    EXACTLY the XLA stem.  Integer weights make f32 arithmetic exact, so
+    equality is bitwise; the lane budget is shrunk to force 8 chunks."""
+    import jax.numpy as jnp
+    from jax import lax
+    from fastdet.kernels import fused_infer as fi
+
+    monkeypatch.setattr(fi, "_STEM_LANE_BUDGET", 200)
+    rng = np.random.RandomState(5)
+    ih, iw = 128, 96                      # h4=32, w4=24 → r=4, 8 chunks
+    imgs = rng.randint(0, 7, (2, ih, iw, 3), np.uint8)
+    sw = rng.randint(-3, 4, (3, 3, 3, 24)).astype(np.float32)
+    sb = rng.randint(-2, 3, (24,)).astype(np.float32)
+
+    x = jnp.asarray(imgs, jnp.float32)
+    y = lax.conv_general_dilated(x, jnp.asarray(sw), (2, 2),
+                                 [(1, 1), (1, 1)],
+                                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = jnp.maximum(y + sb, 0.0)
+    ref = lax.reduce_window(y, -jnp.inf, lax.max, (1, 3, 3, 1),
+                            (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+    w96, b96 = fi.pack_stem_s2d(sw, sb, scale=1.0)
+    xs = jnp.asarray(fi.pack_images_s2d(imgs))
+    got = fi._stem_call_chunked(xs, jnp.asarray(w96), jnp.asarray(b96),
+                                ih // 4, iw // 4, jnp.float32,
+                                interpret=True)
+    got = np.asarray(got).transpose(0, 2, 1).reshape(2, ih // 4, iw // 4, 24)
+    np.testing.assert_array_equal(got, np.asarray(ref))
+
+
 def test_bn_fold_random_model():
     """BN folding alone (weight packing) reproduces eval-mode ConvBN."""
     from fastdet.kernels.fold import _fold_pw, _fold_dw
