@@ -19,6 +19,10 @@ def main():
                         help="model family: yolo-fastestv2 | anchorfree")
     parser.add_argument("--batch", type=int, default=0,
                         help="override eval batch size")
+    parser.add_argument("--fused", action="store_true",
+                        help="evaluate through the Pallas fused inference "
+                             "path (s2d input layout; interpret mode when "
+                             "not on a TPU backend)")
     opt = parser.parse_args()
 
     from fastdet.config import Config
@@ -33,6 +37,10 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    # eval-grade precision: TPU f32 matmuls/convs default to bf16 passes,
+    # which perturbs logits by ~0.3 and shifts mAP at conf 0.01; metrics
+    # runs pay the ~2× conv cost for true-f32 accumulation instead
+    jax.config.update("jax_default_matmul_precision", "highest")
     from fastdet.data import DarknetDataset, DataLoader
     from fastdet.eval.runner import evaluate
     from fastdet.io import load_variables
@@ -54,16 +62,54 @@ def main():
         for images, labels, mask in loader:
             yield jnp.asarray(images), labels, mask
 
+    if opt.fused:
+        # the production serving path, eval-grade: fp32 fused forward
+        # (Pallas span/stem/NMS kernels) + s2d input packing; metrics
+        # must match the linen path (pinned by tests/test_cli.py)
+        assert opt.model == "yolo-fastestv2", \
+            "--fused is only available for the yolo-fastestv2 family"
+        import numpy as np
+        from fastdet.kernels.fused_infer import (build_fused_forward,
+                                                 pack_images_s2d)
+        from fastdet.ops.postprocess import postprocess
+        interpret = jax.default_backend() != "tpu"
+        anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(
+            cfg.num_scales, cfg.anchor_num, 2))
+        fwd, packed = build_fused_forward(
+            variables, input_hw=(cfg.height, cfg.width),
+            anchor_num=cfg.anchor_num, classes=cfg.classes,
+            dtype=jnp.float32, interpret=interpret,
+            input_format="s2d_u8")
+
+        def make_detect(conf_thres, iou_thres, max_nms=1024):
+            @jax.jit
+            def _d(packed, xs, anchors):
+                outs = list(fwd(xs, packed))
+                return postprocess(outs, anchors, (cfg.height, cfg.width),
+                                   conf_thres=conf_thres,
+                                   iou_thres=iou_thres, max_nms=max_nms)
+
+            def detect(_variables, images):
+                xs = jnp.asarray(pack_images_s2d(
+                    np.asarray(images).astype(np.uint8)))
+                return _d(packed, xs, anchors)
+            return detect
+    else:
+        def make_detect(conf_thres, iou_thres, max_nms=1024):
+            return family.build_detect_fn(conf_thres=conf_thres,
+                                          iou_thres=iou_thres,
+                                          max_nms=max_nms)
+
     print("computer mAP...")
     # mAP at conf 0.01 keeps nearly every candidate: use a full-coverage
     # NMS window (reference caps at 30k, far above the 1815 cells)
-    detect_map = family.build_detect_fn(conf_thres=0.01, iou_thres=0.4,
-                                        max_nms=2048)
+    detect_map = make_detect(conf_thres=0.01, iou_thres=0.4,
+                             max_nms=2048)
     res_map = evaluate(detect_map, variables, batches(),
                        (cfg.height, cfg.width), progress=True,
                        distributed=dist)
     print("computer PR...")
-    detect_pr = family.build_detect_fn(conf_thres=0.3, iou_thres=0.4)
+    detect_pr = make_detect(conf_thres=0.3, iou_thres=0.4)
     res_pr = evaluate(detect_pr, variables, batches(),
                       (cfg.height, cfg.width), progress=True,
                       distributed=dist)

@@ -42,6 +42,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    # match the reference chain's f32 accuracy (TPU f32 convs otherwise
+    # run as bf16 passes — see cli/evaluation.py)
+    jax.config.update("jax_default_matmul_precision", "highest")
     from fastdet.io import load_variables
     from fastdet.models.registry import get_family
     family = get_family(opt.model, cfg)

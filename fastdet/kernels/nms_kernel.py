@@ -112,8 +112,11 @@ def suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k, *, iou_thres,
     sct = sc[:, None, :]                                  # (B,1,k)
     scc = sc[..., None]                                   # (B,k,1)
 
+    # VMEM: ~2 live (k,k) f32 matrices per image; keep the group's
+    # working set ≲8 MB (k=256 → group 8; k=1024 → group 1)
+    max_group = max(1, (8 << 20) // (k * k * 8))
     group = 1
-    while (b % (group * 2) == 0) and group < 8:
+    while (b % (group * 2) == 0) and group * 2 <= min(8, max_group):
         group *= 2
     kern = functools.partial(_suppress_kernel, iou_thres=iou_thres,
                              group=group)

@@ -131,7 +131,9 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     valid_k = score_k > 0
 
     if nms_kernel is None:
-        nms_kernel = jax.default_backend() == "tpu"
+        # k>1024: one (k,k) f32 matrix no longer fits the kernel's VMEM
+        # budget — eval-grade windows (max_nms=2048) stay on XLA
+        nms_kernel = jax.default_backend() == "tpu" and k <= 1024
     if nms_kernel:
         from fastdet.kernels.nms_kernel import suppress_ranked_batch
         return suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k,

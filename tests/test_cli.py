@@ -104,6 +104,21 @@ def test_cli_train_and_eval(tiny_world, tmp_path):
     assert ("Precision:" in r2.stdout
             or "No detections" in r2.stdout), r2.stdout
 
+    # the fused (Pallas, s2d-input) eval path prints the same metrics
+    r3 = run_cli("evaluation.py", "--data", str(tiny_world / "tiny.data"),
+                 "--weights", final, "--fused")
+    assert r3.returncode == 0, r3.stderr[-3000:]
+
+    def summary(out):
+        lines = [ln for ln in out.splitlines() if ln.startswith("Precision:")]
+        return lines[-1] if lines else None
+
+    s2, s3 = summary(r2.stdout), summary(r3.stdout)
+    if s2 is not None:
+        vals2 = [float(t.split(":")[1]) for t in s2.split()]
+        vals3 = [float(t.split(":")[1]) for t in s3.split()]
+        np.testing.assert_allclose(vals3, vals2, atol=1e-6)
+
 
 def _write_data(tiny_world, tmp_path, name, epochs):
     """Clone tiny.data with a different epoch count."""
