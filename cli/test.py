@@ -33,6 +33,9 @@ def main():
                         help="model family: yolo-fastestv2 | anchorfree")
     parser.add_argument("--conf", type=float, default=0.3)
     parser.add_argument("--nms", type=float, default=0.4)
+    parser.add_argument("--fused", action="store_true",
+                        help="run the Pallas fused serving path "
+                             "(FusedPipeline; s2d input layout)")
     opt = parser.parse_args()
 
     from fastdet.config import Config, load_names
@@ -49,18 +52,33 @@ def main():
     from fastdet.models.registry import get_family
     family = get_family(opt.model, cfg)
     variables = jax.tree.map(jnp.asarray, load_variables(opt.weights))
-    detect = family.build_detect_fn(conf_thres=opt.conf, iou_thres=opt.nms)
 
     ori_img = cv2.imread(opt.img)
     res_img = cv2.resize(ori_img, (cfg.width, cfg.height),
                          interpolation=cv2.INTER_LINEAR)
-    batch = jnp.asarray(res_img[None])
 
-    # compile, then time the fused inference
-    jax.block_until_ready(detect(variables, batch))
-    start = time.perf_counter()
-    dets, counts = jax.block_until_ready(detect(variables, batch))
-    end = time.perf_counter()
+    if opt.fused:
+        assert opt.model == "yolo-fastestv2", \
+            "--fused is only available for the yolo-fastestv2 family"
+        from fastdet.serve import FusedPipeline
+        pipe = FusedPipeline(variables, cfg, conf_thres=opt.conf,
+                             iou_thres=opt.nms, dtype=jnp.float32,
+                             interpret=jax.default_backend() != "tpu")
+        pipe(res_img[None])                       # compile
+        start = time.perf_counter()
+        rows = pipe(res_img[None])[0]
+        end = time.perf_counter()
+        dets = jnp.asarray(rows)[None]
+        counts = np.asarray([len(rows)])
+    else:
+        detect = family.build_detect_fn(conf_thres=opt.conf,
+                                        iou_thres=opt.nms)
+        batch = jnp.asarray(res_img[None])
+        # compile, then time the fused inference
+        jax.block_until_ready(detect(variables, batch))
+        start = time.perf_counter()
+        dets, counts = jax.block_until_ready(detect(variables, batch))
+        end = time.perf_counter()
     print("forward time:%fms" % ((end - start) * 1000.0))
 
     from fastdet.config import resolve_path

@@ -68,6 +68,17 @@ def test_cli_test_golden_image(tmp_path):
     assert os.path.exists(out)
     assert cv2.imread(out) is not None
 
+    rf = run_cli("test.py", "--data", COCO_DATA,
+                 "--weights", os.path.join(REPO, "weights/coco2017-ref.npz"),
+                 "--img", GOLDEN_IMG, "--output", out, "--fused")
+    assert rf.returncode == 0, rf.stderr[-3000:]
+    # fused serving path prints the same detection lines
+    det = [ln for ln in r.stdout.splitlines() if ln.startswith(("person",
+                                                                "bicycle"))]
+    detf = [ln for ln in rf.stdout.splitlines() if ln.startswith(("person",
+                                                                  "bicycle"))]
+    assert det == detf, (det, detf)
+
 
 def test_cli_genanchors(tiny_world, tmp_path):
     r = run_cli("genanchors.py", "--traintxt", str(tiny_world / "train.txt"),
