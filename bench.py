@@ -204,7 +204,8 @@ def main():
             "anchors": list(np.asarray(cfg.anchors, np.float32)),
             "learning_rate": 1e-3, "steps": [10_000], "subdivisions": 1,
             "batch_size": tb, "epochs": 1})
-        model_t = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num)
+        model_t = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num,
+                           dtype=jnp.bfloat16)
         trainer = Trainer(model_t, tcfg, steps_per_epoch=100,
                           compute_dtype=jnp.bfloat16)
         tstate = trainer.init_state(jax.tree.map(

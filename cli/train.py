@@ -89,7 +89,12 @@ def main():
     if mesh is not None:
         print(f"data-parallel mesh over {n_dp} devices")
     from fastdet.models.registry import get_family
-    family = get_family(opt.model, cfg)
+    # the model's own dtype drives conv/BN compute; without it --bf16
+    # only cast the input and XLA promoted everything back to f32
+    family = get_family(opt.model, cfg,
+                        dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+    # eval stays f32 (eval-grade metrics for the AP-stamped saves)
+    eval_family = get_family(opt.model, cfg) if opt.bf16 else family
     model = family.model
     trainer = Trainer(model, cfg, steps_per_epoch=len(train_loader),
                       mesh=mesh,
@@ -143,9 +148,9 @@ def main():
     os.makedirs(opt.weights_dir, exist_ok=True)
     # mAP at conf 0.01 keeps nearly every candidate: full-coverage NMS
     # window (the model emits 1,815 cells/image; reference caps at 30k)
-    detect_map = family.build_detect_fn(conf_thres=0.01, iou_thres=0.4,
+    detect_map = eval_family.build_detect_fn(conf_thres=0.01, iou_thres=0.4,
                                         max_nms=2048)
-    detect_pr = family.build_detect_fn(conf_thres=0.3, iou_thres=0.4)
+    detect_pr = eval_family.build_detect_fn(conf_thres=0.3, iou_thres=0.4)
 
     chain_k = max(1, opt.chain)
     chained_step = trainer.make_chained_step(chain_k) if chain_k > 1 else None

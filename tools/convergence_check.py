@@ -68,7 +68,8 @@ def main():
         "batch_size": args.batch, "epochs": 1})
 
     import jax.numpy as _jnp
-    model = Detector(classes=3, anchor_num=3)
+    model = Detector(classes=3, anchor_num=3,
+                     dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32)
     # short warmup (5 "epochs" of 10 steps) so the run trains at full lr
     trainer = Trainer(model, cfg, steps_per_epoch=10,
                       compute_dtype=_jnp.bfloat16 if args.bf16
