@@ -292,3 +292,27 @@ def test_tensor_parallel_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=5e-6)
+
+
+def test_bf16_dtype_reaches_convs():
+    """Regression: the model's own dtype must drive conv/BN compute —
+    round 2 found --bf16 silently promoted back to f32 because only the
+    input was cast (cli/train.py builds the family with dtype=bf16)."""
+    from fastdet.config import Config
+    from fastdet.models.registry import get_family
+    cfg = Config.from_dict({
+        "classes": 3, "width": 64, "height": 64, "anchor_num": 3,
+        "anchors": [10, 10, 20, 20, 30, 30, 40, 40, 50, 50, 60, 60]})
+    for name in ("yolo-fastestv2", "anchorfree"):
+        fam = get_family(name, cfg, dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 64, 64, 3), jnp.uint8).astype(jnp.bfloat16)
+        variables = fam.model.init(jax.random.PRNGKey(0), x, train=False)
+        outs = fam.model.apply(variables, x, train=False)
+        outs = outs if isinstance(outs, (tuple, list)) else [outs]
+        # raw head outputs carry the compute dtype; f32 would mean the
+        # model promoted internally
+        assert all(o.dtype == jnp.bfloat16 for o in outs), \
+            [o.dtype for o in outs]
+        # params stay fp32 regardless of compute dtype
+        leaves = jax.tree.leaves(variables["params"])
+        assert all(p.dtype == jnp.float32 for p in leaves)
