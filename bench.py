@@ -10,8 +10,9 @@ TPU number; its 3.29 ms Kirin-990 latency ≈ 304 img/s).
 
 The compute path is the Pallas fused-inference pipeline
 (fastdet/kernels/fused_infer.py: transposed lane-packed span kernels +
-composed dw∘pw matmuls), which measures ~9% over the plain-XLA forward
-on v5e.  Latency is reported two ways: `p50_latency_ms_b1` is a single
+composed dw∘pw matmuls + the fused s2d stem + the VMEM-resident NMS
+suppression kernel), measured ~37.5k img/s/chip at 352² b256 bf16 on
+v5e (plain-XLA forward + dense postprocess: ~29k).  Latency is reported two ways: `p50_latency_ms_b1` is a single
 batch-1 dispatch (includes host→device transport — under the axon relay
 that is ~28 ms of tunnel overhead); `latency_ms_b1_chip` chains K
 batch-1 inferences inside ONE device program and reports per-step time,

@@ -28,8 +28,11 @@ to XLA — 49 vs 29 µs/img end-to-end, b256 bf16):
     already runs the small FPN/head convs near-optimally (~2.7 µs/img
     measured).
 
-Measured (1× v5e, b256 bf16, 12-step chain, carried-sum harness):
-full fused chain 40.6 µs/img vs 44.2 XLA — forward alone 25.8 vs 29.8.
+Measured (1× v5e, b256 bf16, carried-sum chain harness): forward
+(s2d stem path) ≈16 µs/img; full detect (with top-k postprocess + the
+Pallas NMS kernel) ≈26 µs/img → 37.5–37.9k img/s/chip.  (Round-2
+baseline for reference: spans alone beat plain XLA 40.6 vs 44.2 µs/img
+end-to-end before the stem/postprocess work.)
 
 Numeric contract: identical to `Detector.apply(..., train=False)` with
 BN folded — validated in tests (f32 interpret mode ≤2e-4; bf16 on
@@ -152,9 +155,10 @@ def _span_call(xt, weights, nblk, h, w, nimg, c, dtype, interpret):
 #   * **Input contract**: (B, 48, pad128(H/4·W/4)) uint8 — raw pixels in
 #     s2d(4) channel-first order (channel = yoff·12 + xoff·3 + c, lanes
 #     the (H/4, W/4) stride-4 grid).  The host writes this layout at
-#     preprocess time for the same cost as NHWC (`pack_images_s2d`);
-#     /255 normalization is folded into the conv weights, so the device
-#     never touches the image before the kernel.
+#     preprocess time (`pack_images_s2d`; native fd_preprocess_batch_s2d
+#     — same byte count as NHWC, one extra repack pass ≈26% of host
+#     preprocess); /255 normalization is folded into the conv weights,
+#     so the device never touches the image before the kernel.
 #   * conv: output row Y = 2i+py reads input row 4i + 2py+ky-1 =
 #     4(i+du)+yoff with du∈{-1,0} — ALL FOUR conv phase planes
 #     (py,px)∈{0,1}² are linear in the same 4 lane-rolled tap images
