@@ -63,8 +63,10 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
         scale first — identical to decode_outputs).
 
     nms_kernel: run the greedy suppression as the VMEM-resident Pallas
-    kernel (fastdet/kernels/nms_kernel.py — exact-equal, ~6× less HBM
-    traffic); None → auto (True on the TPU backend).
+    kernel (fastdet/kernels/nms_kernel.py — exact-equal; measured within
+    noise of the XLA fixpoint at serving windows, kept as the TPU
+    default for VMEM residency/scheduling isolation — see that module's
+    header); None → auto (True on the TPU backend).
     """
     num_scales = len(outputs) // 3
     b = outputs[0].shape[0]
@@ -131,9 +133,10 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     valid_k = score_k > 0
 
     if nms_kernel is None:
-        # k>1024: one (k,k) f32 matrix no longer fits the kernel's VMEM
-        # budget — eval-grade windows (max_nms=2048) stay on XLA
-        nms_kernel = jax.default_backend() == "tpu" and k <= 1024
+        # serving windows (k ≤ 1024) run the single-tile kernel; larger
+        # eval-grade windows run the blocked (T,T)-tiled variant — both
+        # exact-equal to the XLA fixpoint
+        nms_kernel = jax.default_backend() == "tpu"
     if nms_kernel:
         from fastdet.kernels.nms_kernel import suppress_ranked_batch
         return suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k,

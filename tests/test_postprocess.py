@@ -143,6 +143,66 @@ def test_suppress_kernel_equals_xla():
     np.testing.assert_array_equal(np.asarray(ref_det), np.asarray(got_det))
 
 
+@pytest.mark.parametrize("k", [1300, 2048])
+def test_suppress_kernel_tiled_equals_xla(k):
+    """The blocked (tiled) suppression kernel — eval-grade windows,
+    k > 1024 — is exact-equal to the vmapped XLA fixpoint, including
+    cross-block suppression chains and non-tile-multiple k (padding)."""
+    import functools
+    import jax
+    from fastdet.kernels.nms_kernel import suppress_ranked_batch
+    from fastdet.ops.nms import suppress_ranked
+
+    rng = np.random.RandomState(5)
+    b = 2
+    # crowded field → suppression chains that cross the 1024 boundary
+    cxy = rng.rand(b, k, 2).astype(np.float32) * 120
+    wh = rng.rand(b, k, 2).astype(np.float32) * 50 + 10
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+    score = np.sort(rng.rand(b, k).astype(np.float32))[:, ::-1].copy()
+    cls = rng.randint(0, 3, (b, k))
+    valid = rng.rand(b, k) > 0.1
+    score = np.where(valid, score, -1.0).astype(np.float32)
+
+    args = (jnp.asarray(boxes), jnp.asarray(score), jnp.asarray(cls),
+            jnp.asarray(valid))
+    fn = functools.partial(suppress_ranked, iou_thres=0.4, max_det=300)
+    ref_det, ref_n = jax.vmap(fn)(*args)
+    got_det, got_n = suppress_ranked_batch(*args, iou_thres=0.4,
+                                           max_det=300, interpret=True)
+    assert int(np.asarray(ref_n).min()) > 0
+    np.testing.assert_array_equal(np.asarray(ref_n), np.asarray(got_n))
+    np.testing.assert_array_equal(np.asarray(ref_det), np.asarray(got_det))
+
+
+def test_suppress_kernel_honors_valid_nonpositive_score():
+    """valid_k is authoritative: a candidate with valid_k=True but
+    score ≤ 0 must still be eligible (the kernel encodes validity as an
+    explicit ±1 operand, not score>0 — ADVICE r2)."""
+    import functools
+    import jax
+    from fastdet.kernels.nms_kernel import suppress_ranked_batch
+    from fastdet.ops.nms import suppress_ranked
+
+    boxes = np.asarray([[[0, 0, 10, 10], [100, 100, 110, 110],
+                         [1, 1, 11, 11], [200, 200, 210, 210]]], np.float32)
+    score = np.asarray([[0.9, 0.0, -0.1, -0.5]], np.float32)  # descending
+    cls = np.zeros((1, 4), np.int64)
+    valid = np.asarray([[True, True, True, False]])
+
+    args = (jnp.asarray(boxes), jnp.asarray(score), jnp.asarray(cls),
+            jnp.asarray(valid))
+    fn = functools.partial(suppress_ranked, iou_thres=0.4, max_det=10)
+    ref_det, ref_n = jax.vmap(fn)(*args)
+    got_det, got_n = suppress_ranked_batch(*args, iou_thres=0.4,
+                                           max_det=10, interpret=True)
+    # the zero- and negative-score valid candidates are kept/suppressed
+    # exactly like the XLA path (box 1 kept, box 2 suppressed by box 0)
+    assert int(ref_n[0]) == 2
+    np.testing.assert_array_equal(np.asarray(ref_n), np.asarray(got_n))
+    np.testing.assert_array_equal(np.asarray(ref_det), np.asarray(got_det))
+
+
 def test_topk_first_equals_dense():
     """The production top-k-first postprocess (score factorization +
     payload sort + post-selection decode) is BITWISE equal to the dense
