@@ -162,7 +162,10 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     img_per_s = chain * batch / dt
 
-    # stretch config: 640×640 streaming throughput (BASELINE.json)
+    # stretch config: 640×640 device-resident throughput (BASELINE.json).
+    # Named _chip, not _streaming: a lax.scan chains pre-uploaded device
+    # batches — it measures the chip, with no host preprocessing overlap
+    # (the true host→device streaming rate is `e2e_img_s` below).
     img_s_640 = None
     if os.environ.get("FASTDET_BENCH_640", "1") == "1":
         # 640² runs the row-chunked fused stem (s2d input layout)
@@ -193,10 +196,93 @@ def main():
             ts.append(time.perf_counter() - t0)
         img_s_640 = round(k6 * b6 / min(ts), 1)
 
-    # optional: training throughput (chained steps, on-chip), off by
-    # default to keep the driver bench fast — FASTDET_BENCH_TRAIN=1
+    # second model family: anchor-free (FastestDet-style) detect
+    # throughput, device-resident chained batches on the XLA path (its
+    # single-scale head has no Pallas specialization yet)
+    af_img_s = None
+    if os.environ.get("FASTDET_BENCH_ANCHORFREE", "1") == "1":
+        from fastdet.models.anchorfree import (AnchorFreeDetector,
+                                               build_anchorfree_detect_fn)
+        af = AnchorFreeDetector(classes=cfg.classes, dtype=jnp.bfloat16)
+        af_vars = af.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, cfg.height, cfg.width, 3)),
+                          train=False)
+        af_detect = build_anchorfree_detect_fn(af, hw, conf_thres=0.3,
+                                               iou_thres=0.4)
+
+        @jax.jit
+        def af_chain(v, images_k):
+            def body(_, im):
+                return None, af_detect(v, im)
+            return jax.lax.scan(body, None, images_k)[1]
+
+        ab, ak = 256, 32
+        af_imgs = jax.device_put(jnp.asarray(rng.randint(
+            0, 255, (ak, ab, cfg.height, cfg.width, 3), np.uint8)))
+        jax.block_until_ready(af_chain(af_vars, af_imgs))
+        ats = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(af_chain(af_vars, af_imgs))
+            ats.append(time.perf_counter() - t0)
+        af_img_s = round(ak * ab / min(ats), 1)
+        del af_imgs
+
+    # end-to-end serving rate: image FILES → native host decode + resize
+    # + s2d pack → device fused detect → boxes on host.  The producer
+    # thread preprocesses batch N+1 while the device runs batch N
+    # (StreamingPipeline over FusedPipeline).  This is the number the
+    # reference's 3.29 ms Kirin-990 figure corresponds to (its
+    # detection() includes decode/resize/normalize) — every other
+    # throughput field here is device-resident.  `host_pre_us_img` is
+    # the host preprocessing cost alone on THIS host's cores;
+    # docs/PERF.md gives the per-core scaling model for a real TPU host.
+    e2e_img_s = None
+    host_pre_us = None
+    if os.environ.get("FASTDET_BENCH_E2E", "1") == "1":
+        import tempfile
+
+        import cv2
+
+        from fastdet.serve import FusedPipeline, StreamingPipeline
+        tmp = tempfile.mkdtemp(prefix="fastdet_bench_")
+        paths = []
+        for i in range(64):
+            img = rng.randint(0, 255, (480, 640, 3), np.uint8)
+            p = os.path.join(tmp, f"im{i:03d}.jpg")
+            cv2.imwrite(p, img)
+            paths.append(p)
+
+        e2e_batch = int(os.environ.get("FASTDET_BENCH_E2E_BATCH", "256"))
+        pipe = FusedPipeline(variables, cfg, conf_thres=0.3, iou_thres=0.4,
+                             max_nms=256)
+        stream = StreamingPipeline(pipe, batch_size=e2e_batch)
+
+        # host preprocessing alone (decode+resize+pack, this host)
+        batch_paths = (paths * ((e2e_batch + 63) // 64))[:e2e_batch]
+        pipe.preprocess_files(batch_paths)          # warm (file cache)
+        t0 = time.perf_counter()
+        pipe.preprocess_files(batch_paths)
+        host_pre_us = (time.perf_counter() - t0) / e2e_batch * 1e6
+
+        n_total = e2e_batch * int(os.environ.get("FASTDET_BENCH_E2E_K",
+                                                 "6"))
+        all_paths = (paths * ((n_total + 63) // 64))[:n_total]
+        stream.run_files(all_paths[:e2e_batch])     # warm (compile)
+        t0 = time.perf_counter()
+        out = stream.run_files(all_paths)
+        dt = time.perf_counter() - t0
+        assert len(out) == n_total
+        e2e_img_s = round(n_total / dt, 1)
+
+    # training throughput (chained steps, on-chip): always measured —
+    # the driver artifact must carry the framework's flagship training
+    # number (reference: ~4 min/COCO epoch on a GTX 1660 Ti,
+    # README.md:7; here ≈16 s at 7k img/s true-bf16).  The chain itself
+    # (8 × b256, min of 3 reps) takes ~1 s per rep once compiled — the
+    # one-time compile dominates.  FASTDET_BENCH_TRAIN=0 skips.
     train_img_s = None
-    if os.environ.get("FASTDET_BENCH_TRAIN", "0") == "1":
+    if os.environ.get("FASTDET_BENCH_TRAIN", "1") == "1":
         from fastdet.train.trainer import Trainer
         tb, tk = 256, 8
         tcfg = Config.from_dict({
@@ -238,7 +324,11 @@ def main():
         "chain": chain,
         "p50_latency_ms_b1": round(p50_ms, 3),
         "latency_ms_b1_chip": round(b1_chip_ms, 3),
-        "img_s_640_streaming": img_s_640,
+        "img_s_640_chip": img_s_640,
+        "anchorfree_img_s": af_img_s,
+        "e2e_img_s": e2e_img_s,
+        "host_pre_us_img": (round(host_pre_us, 1)
+                            if host_pre_us is not None else None),
         "train_img_s": train_img_s,
         "kernel_path": "pallas_fused_transposed+s2d_stem",
         "input_format": "s2d_u8",

@@ -440,7 +440,8 @@ def build_fused_forward(variables: dict,
                         input_hw: Tuple[int, int] = (352, 352),
                         anchor_num: int = 3, classes: int = 80,
                         dtype=jnp.bfloat16, interpret: bool = False,
-                        input_format: str = "nhwc"):
+                        input_format: str = "nhwc",
+                        upto: str = None):
     """Returns (forward_fn, packed_weights).
 
     forward_fn(images, packed) → raw-logit 6-tuple identical to
@@ -454,7 +455,11 @@ def build_fused_forward(variables: dict,
       * "nhwc"   — (B, H, W, 3) uint8; stem runs in XLA.
       * "s2d_u8" — (B, 48, pad128(H/4·W/4)) uint8 from `pack_images_s2d`
         (host-side layout); stem+pool run as one Pallas kernel, ~2×
-        faster than the XLA stem (see module header)."""
+        faster than the XLA stem (see module header).
+
+    upto: None for the full forward; "stem"/"s2"/"s3"/"s4" truncate the
+    program after that stage and return its NHWC feature map — the
+    per-stage timing hook for tools/perf_breakdown.py (docs/PERF.md)."""
     if input_format not in ("nhwc", "s2d_u8"):
         raise ValueError(f"unknown input_format {input_format!r}")
     # whole-image stem programs hold ~1.2 kB VMEM per lane; larger
@@ -491,6 +496,8 @@ def build_fused_forward(variables: dict,
             x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
                                   (1, 2, 2, 1),
                                   [(0, 0), (1, 1), (1, 1), (0, 0)])
+        if upto == "stem":
+            return x
         b = images.shape[0]
         h, w = h4, w4
         cin = 24
@@ -516,6 +523,8 @@ def build_fused_forward(variables: dict,
             x = xu.reshape(b, h, w, c)
             feats[sid] = x
             cin = c
+            if upto == f"s{sid}":
+                return x
         return _fpn_xla(feats[3], feats[4], p, dtype)
 
     return forward, packed

@@ -171,40 +171,76 @@ class FusedPipeline:
         dets, counts = np.asarray(dets), np.asarray(counts)
         return [dets[i, :counts[i]] for i in range(n)]
 
-    def from_files(self, paths: Sequence[str]) -> List[np.ndarray]:
+    def preprocess_files(self, paths: Sequence[str]) -> np.ndarray:
+        """Decode + resize + s2d-pack image files on the host →
+        (N, 48, pad128(H/4·W/4)) uint8, ready for `__call__` (native
+        libjpeg/libpng path when built, cv2 fallback otherwise)."""
         from fastdet import native
         if native.available():
-            x = native.preprocess_batch_s2d(list(paths), self._cfg.width,
-                                            self._cfg.height)
-        else:                                # pure-python fallback
-            import cv2
-            imgs = np.stack([cv2.resize(cv2.imread(p), (self._cfg.width,
-                                                        self._cfg.height))
-                             for p in paths])
-            x = np.asarray(self._pack_py(imgs))
-        return self(x)
+            return native.preprocess_batch_s2d(list(paths),
+                                               self._cfg.width,
+                                               self._cfg.height)
+        import cv2
+        imgs = np.stack([cv2.resize(cv2.imread(p), (self._cfg.width,
+                                                    self._cfg.height))
+                         for p in paths])
+        return np.asarray(self._pack_py(imgs))
+
+    def from_files(self, paths: Sequence[str]) -> List[np.ndarray]:
+        return self(self.preprocess_files(paths))
 
 
 class StreamingPipeline:
-    """Double-buffered frame-stream detection (the 640×640 streaming
-    stretch config, BASELINE.json): host preprocessing of batch N+1
-    overlaps device inference of batch N via a background thread and
-    JAX's async dispatch."""
+    """Double-buffered stream detection: host preprocessing of batch N+1
+    overlaps device inference of batch N via a background producer
+    thread and JAX's async dispatch.
 
-    def __init__(self, pipeline: "DevicePipeline", batch_size: int = 8):
+    Wraps any batch pipeline (`DevicePipeline`, `ShardedPipeline`, or
+    `FusedPipeline`).  Two entry points:
+
+      * `run(frames)` — iterable of model-sized HWC uint8 frames (the
+        640×640 streaming stretch config, BASELINE.json);
+      * `run_files(paths)` — image files end-to-end: the producer thread
+        decodes + resizes + (fused path) s2d-packs each batch with the
+        native C++ preprocessor while the consumer drives the device —
+        the full host→device→boxes serving rate the reference's 3.29 ms
+        Kirin number measures (sample/ncnn/src/yolo-fastestv2.cpp:193-218
+        includes decode/resize/normalize)."""
+
+    def __init__(self, pipeline, batch_size: int = 8):
         self._pipe = pipeline
         self._bs = batch_size
 
-    def run(self, frames) -> List[np.ndarray]:
-        """frames: iterable of HWC uint8 images (already model-sized).
-        Returns per-frame detection arrays, in order."""
+    def _stream(self, producer) -> List[np.ndarray]:
         import queue
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
         sentinel = object()
 
-        def producer():
+        def run_producer():
+            try:
+                producer(q)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=run_producer, daemon=True)
+        t.start()
+        out: List[np.ndarray] = []
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            batch, valid = item
+            out.extend(self._pipe(batch)[:valid])
+        t.join()
+        return out
+
+    def run(self, frames) -> List[np.ndarray]:
+        """frames: iterable of HWC uint8 images (already model-sized).
+        Returns per-frame detection arrays, in order."""
+
+        def producer(q):
             buf = []
             for f in frames:
                 buf.append(f)
@@ -218,18 +254,36 @@ class StreamingPipeline:
                 n = len(buf)
                 pad = [np.zeros_like(buf[0])] * (self._bs - n)
                 q.put((np.stack(buf + pad), n))
-            q.put(sentinel)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        out: List[np.ndarray] = []
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            batch, valid = item
-            out.extend(self._pipe(batch)[:valid])
-        return out
+        return self._stream(producer)
+
+    def run_files(self, paths: Sequence[str]) -> List[np.ndarray]:
+        """Image files → per-file detection arrays, in order; host
+        preprocessing (decode/resize/pack) overlaps device inference.
+        Uses the wrapped pipeline's `preprocess_files` when it has one
+        (FusedPipeline: native decode straight into the s2d layout),
+        else the native NHWC batch preprocessor."""
+        pre = getattr(self._pipe, "preprocess_files", None)
+        if pre is None:
+            from fastdet import native
+
+            def pre(batch_paths):
+                return native.preprocess_batch(list(batch_paths))
+
+        paths = list(paths)
+
+        def producer(q):
+            for i in range(0, len(paths), self._bs):
+                chunk = paths[i:i + self._bs]
+                x = pre(chunk)
+                n = len(chunk)
+                if n < self._bs:                     # static-shape tail
+                    x = np.concatenate(
+                        [x, np.zeros((self._bs - n,) + x.shape[1:],
+                                     x.dtype)])
+                q.put((x, n))
+
+        return self._stream(producer)
 
 
 class HybridPipeline:

@@ -47,6 +47,8 @@ def main():
                          "stay fp32) — validates bf16 training accuracy")
     ap.add_argument("--chain", type=int, default=1,
                     help="fuse K train steps into one device program")
+    ap.add_argument("--model", type=str, default="yolo-fastestv2",
+                    help="model family: yolo-fastestv2 | anchorfree")
     args = ap.parse_args()
 
     import jax
@@ -54,8 +56,7 @@ def main():
 
     from fastdet.config import Config
     from fastdet.eval.runner import evaluate
-    from fastdet.models import Detector
-    from fastdet.ops.postprocess import build_detect_fn
+    from fastdet.models.registry import get_family
     from fastdet.train.targets import pack_labels
     from fastdet.train.trainer import Trainer
 
@@ -68,12 +69,13 @@ def main():
         "batch_size": args.batch, "epochs": 1})
 
     import jax.numpy as _jnp
-    model = Detector(classes=3, anchor_num=3,
-                     dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32)
+    family = get_family(args.model, cfg,
+                        dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32)
+    model = family.model
     # short warmup (5 "epochs" of 10 steps) so the run trains at full lr
     trainer = Trainer(model, cfg, steps_per_epoch=10,
                       compute_dtype=_jnp.bfloat16 if args.bf16
-                      else _jnp.float32)
+                      else _jnp.float32, loss_fn=family.loss_fn)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)), train=False)
     state = trainer.init_state(variables)
@@ -93,7 +95,7 @@ def main():
                                  for _ in range(64)))
     eval_lab_arr, eval_mask = pack_labels(list(eval_labs), M)
     eval_imgs = np.stack(eval_imgs)
-    detect = build_detect_fn(model, cfg, conf_thres=0.05, iou_thres=0.45)
+    detect = family.build_detect_fn(conf_thres=0.05, iou_thres=0.45)
 
     def eval_ap(state):
         ev = {"params": state.params, "batch_stats": state.batch_stats}
