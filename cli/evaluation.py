@@ -36,6 +36,12 @@ def main():
     print("model_path:%s" % opt.weights)
 
     import jax
+    from fastdet.parallel.mesh import initialize_distributed
+    # multi-host entry: FASTDET_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
+    # env vars start a jax.distributed job (must precede any computation)
+    if initialize_distributed():
+        print(f"distributed: process {jax.process_index() + 1}"
+              f"/{jax.process_count()}")
     import jax.numpy as jnp
     # eval-grade precision: TPU f32 matmuls/convs default to bf16 passes,
     # which perturbs logits by ~0.3 and shifts mAP at conf 0.01; metrics

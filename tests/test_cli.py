@@ -144,6 +144,7 @@ def _load_npz_dict(path):
         return {k: z[k] for k in z.files}
 
 
+@pytest.mark.slow
 def test_cli_train_cadence_resume_chain(tiny_world, tmp_path):
     """The 10-epoch-style eval/save cadence executes, and an interrupted
     run resumed with --resume reproduces the uninterrupted run's final

@@ -1,0 +1,114 @@
+"""CLI-level evaluation parity vs the reference (VERDICT r2 #5).
+
+The REFERENCE `evaluation.py` (run unmodified as a subprocess, with the
+missing torchsummary/torchvision deps stubbed) and our
+`cli/evaluation.py` both evaluate the SAME derived val list — generated
+on the fly by `tools/make_derived_val.py`, the COCO-runbook dry-run —
+with the same (converted) weights, and must print matching
+Precision/Recall/AP/F1 lines.  This pins the two CLIs end-to-end:
+config parsing, dataset loading, forward, decode, NMS and metrics.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import COCO_DATA, REFERENCE, requires_reference
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_CKPT = os.path.join(REFERENCE, "modelzoo",
+                        "coco2017-0.241078ap-model.pth")
+
+# runs the reference evaluation.py VERBATIM (runpy), stubbing only its
+# unavailable imports — exactly like tests/conftest.py::torch_ref
+REF_BOOTSTRAP = r"""
+import runpy, sys, types
+import numpy as np
+import torch
+torch.set_num_threads(4)
+
+fake_summary = types.ModuleType("torchsummary")
+fake_summary.summary = lambda *a, **k: None
+sys.modules["torchsummary"] = fake_summary
+
+tv = types.ModuleType("torchvision")
+tvops = types.ModuleType("torchvision.ops")
+
+def np_nms(boxes, scores, iou_thres):
+    b = boxes.detach().numpy(); s = scores.detach().numpy()
+    order = np.argsort(-s, kind="stable")
+    keep, sup = [], np.zeros(len(s), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(b[i, 0], b[:, 0]); y1 = np.maximum(b[i, 1], b[:, 1])
+        x2 = np.minimum(b[i, 2], b[:, 2]); y2 = np.minimum(b[i, 3], b[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        ai = (b[i, 2] - b[i, 0]) * (b[i, 3] - b[i, 1])
+        ar = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        sup |= inter / (ai + ar - inter) > iou_thres
+    return torch.from_numpy(np.asarray(keep, np.int64))
+
+tvops.nms = np_nms
+tv.ops = tvops
+sys.modules["torchvision"] = tv
+sys.modules["torchvision.ops"] = tvops
+
+ref = sys.argv[1]
+sys.path.insert(0, ref)
+sys.argv = [ref + "/evaluation.py"] + sys.argv[2:]
+runpy.run_path(sys.argv[0], run_name="__main__")
+"""
+
+LINE = re.compile(
+    r"Precision:([\d.]+) Recall:([\d.]+) AP:([\d.]+) F1:([\d.]+)")
+
+
+def _metrics_line(stdout):
+    m = LINE.findall(stdout)
+    assert m, f"no metrics line in output:\n{stdout[-3000:]}"
+    return tuple(float(v) for v in m[-1])
+
+
+@requires_reference
+@pytest.mark.slow
+def test_reference_and_fastdet_eval_cli_agree(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+
+    out = str(tmp_path / "dv")
+    gen = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_derived_val.py"),
+         "--out", out, "--count", "60"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert gen.returncode == 0, gen.stderr[-3000:]
+    data = os.path.join(out, "derived.data")
+
+    ref = subprocess.run(
+        [sys.executable, "-c", REF_BOOTSTRAP, REFERENCE, "--data", data,
+         "--weights", REF_CKPT],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
+    assert ref.returncode == 0, (ref.stdout + ref.stderr)[-4000:]
+    ref_metrics = _metrics_line(ref.stdout)
+
+    ours = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "evaluation.py"),
+         "--data", data,
+         "--weights", os.path.join(REPO, "weights", "coco2017-ref.npz")],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
+    assert ours.returncode == 0, (ours.stdout + ours.stderr)[-4000:]
+    our_metrics = _metrics_line(ours.stdout)
+
+    # the detections are pinned identical by test_eval_e2e_parity; at the
+    # CLI level the printed metrics must agree to print precision
+    np.testing.assert_allclose(our_metrics, ref_metrics, atol=2e-6,
+                               err_msg=f"ref={ref_metrics} "
+                                       f"ours={our_metrics}")
+    # and the reproducibility artifact is present for the runbook
+    assert os.path.exists(os.path.join(out, "MANIFEST.json"))

@@ -202,6 +202,7 @@ def _our_stats(ref_variables, coco_cfg, imgs, labels, conf_thres, batch=8):
 
 
 @requires_reference
+@pytest.mark.slow
 @pytest.mark.parametrize("conf_thres", [0.3, 0.01])
 def test_evaluation_parity_scaled(torch_ref, torch_model, ref_variables,
                                   coco_cfg, conf_thres):
