@@ -58,23 +58,36 @@ def main():
     print(cfg.to_dict())
 
     import jax
+    from fastdet.parallel.mesh import (initialize_distributed, make_mesh,
+                                       shard_batch)
+    # multi-host entry: FASTDET_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
+    # env vars start a jax.distributed job (must precede any computation)
+    if initialize_distributed():
+        print(f"distributed: process {jax.process_index() + 1}"
+              f"/{jax.process_count()}")
     import jax.numpy as jnp
     from fastdet.data import DarknetDataset, DataLoader, default_augment
     from fastdet.eval.runner import evaluate
     from fastdet.io import load_variables, save_checkpoint, load_checkpoint, latest_step
-    from fastdet.parallel.mesh import make_mesh, shard_batch
     from fastdet.train.trainer import Trainer
 
     train_ds = DarknetDataset(cfg.train, cfg.width, cfg.height,
                               augment=default_augment)
     val_ds = DarknetDataset(cfg.val, cfg.width, cfg.height, augment=None)
 
-    batch_size = int(cfg.batch_size / (cfg.subdivisions or 1))
+    # cfg.batch_size/subdivisions is the GLOBAL batch per optimizer
+    # micro-step; each host loads and feeds 1/process_count of it
+    global_bs = int(cfg.batch_size / (cfg.subdivisions or 1))
+    nproc = jax.process_count()
+    primary = jax.process_index() == 0
+    assert global_bs % nproc == 0, \
+        f"batch_size/subdivisions ({global_bs}) must divide evenly over " \
+        f"{nproc} processes"
+    batch_size = global_bs // nproc          # per-host loader batch
     nw = min(os.cpu_count() or 1, batch_size if batch_size > 1 else 1, 8)
     # multi-host: each process loads only its shard of the dataset
     # (per-host input pipeline, SURVEY.md §5)
-    shard = ((jax.process_index(), jax.process_count())
-             if jax.process_count() > 1 else None)
+    shard = ((jax.process_index(), nproc) if nproc > 1 else None)
     if shard is not None:
         print(f"input shard {shard[0] + 1}/{shard[1]}")
     train_loader = DataLoader(train_ds, batch_size, shuffle=True,
@@ -82,10 +95,18 @@ def main():
     val_loader_args = dict(batch_size=batch_size, shuffle=False,
                            drop_last=False, num_workers=nw, shard=shard)
 
-    # DP mesh over as many devices as evenly divide the batch
+    # DP mesh: multi-process jobs span every device of every process
+    # (the global batch shards across hosts); single-process jobs take
+    # as many local devices as evenly divide the batch
     import math
-    n_dp = math.gcd(len(jax.devices()), batch_size)
-    mesh = make_mesh(n_dp) if n_dp > 1 else None
+    if nproc > 1:
+        n_dp = len(jax.devices())
+        assert global_bs % n_dp == 0, \
+            f"global batch {global_bs} must divide over {n_dp} devices"
+        mesh = make_mesh()
+    else:
+        n_dp = math.gcd(len(jax.devices()), batch_size)
+        mesh = make_mesh(n_dp) if n_dp > 1 else None
     if mesh is not None:
         print(f"data-parallel mesh over {n_dp} devices")
     from fastdet.models.registry import get_family
@@ -134,7 +155,9 @@ def main():
     state = trainer.init_state(variables)
 
     from fastdet.utils import MetricsLogger, StepTimer, trace
-    mlog = MetricsLogger(opt.logdir or None, "train")
+    # host files (metrics jsonl, npz weights) are written by process 0
+    # only; orbax checkpoints coordinate across processes internally
+    mlog = MetricsLogger((opt.logdir or None) if primary else None, "train")
     timer = StepTimer()
 
     start_epoch = 0
@@ -230,14 +253,21 @@ def main():
                     yield jnp.asarray(im), lb, mk
 
             dist = jax.process_count() > 1
-            print("computer mAP...")
-            res_map = evaluate(detect_map, eval_vars, batches(),
-                               (cfg.height, cfg.width), progress=True,
-                               distributed=dist)
-            print("computer PR...")
-            res_pr = evaluate(detect_pr, eval_vars, batches(),
-                              (cfg.height, cfg.width), progress=True,
-                              distributed=dist)
+            # eval-grade precision for the AP-stamped saves: the detect
+            # fns trace (and cache) under highest matmul precision, so
+            # the stamped AP agrees with cli/evaluation.py on the same
+            # weights (TPU default-bf16 MXU passes measurably shift
+            # conf-0.01 metrics — docs/COCO_RUNBOOK.md); training steps
+            # stay at default precision
+            with jax.default_matmul_precision("highest"):
+                print("computer mAP...")
+                res_map = evaluate(detect_map, eval_vars, batches(),
+                                   (cfg.height, cfg.width), progress=True,
+                                   distributed=dist)
+                print("computer PR...")
+                res_pr = evaluate(detect_pr, eval_vars, batches(),
+                                  (cfg.height, cfg.width), progress=True,
+                                  distributed=dist)
             ap = res_map[2] if res_map else 0.0
             precision, recall, f1 = (res_pr[0], res_pr[1], res_pr[3]) \
                 if res_pr else (0.0, 0.0, 0.0)
@@ -245,20 +275,24 @@ def main():
                   % (precision, recall, ap, f1))
 
             # AP-stamped npz weights + orbax full-state checkpoint
-            out = os.path.join(
-                opt.weights_dir,
-                "%s-%d-epoch-%fap-model.npz" % (cfg.model_name, epoch, ap))
-            _save_npz(eval_vars, out)
-            print("saved", out)
+            if primary:
+                out = os.path.join(
+                    opt.weights_dir,
+                    "%s-%d-epoch-%fap-model.npz" % (cfg.model_name, epoch,
+                                                    ap))
+                _save_npz(eval_vars, out)
+                print("saved", out)
             # step = number of COMPLETED epochs, so --resume continues
             # at epoch+1 instead of repeating this epoch
             save_checkpoint(opt.ckpt_dir, epoch + 1, jax.device_get(state))
 
     # final save
     save_checkpoint(opt.ckpt_dir, cfg.epochs, jax.device_get(state))
-    _save_npz({"params": state.params, "batch_stats": state.batch_stats},
-              os.path.join(opt.weights_dir,
-                           "%s-final-model.npz" % cfg.model_name))
+    if primary:
+        _save_npz({"params": state.params,
+                   "batch_stats": state.batch_stats},
+                  os.path.join(opt.weights_dir,
+                               "%s-final-model.npz" % cfg.model_name))
 
 
 def _save_npz(variables, path):

@@ -48,6 +48,13 @@ class ConvBN(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
+            # two-pass variance E[(x-mu)^2], not E[x^2]-E[x]^2: the fast
+            # form cancels catastrophically (batch-var error ~4e-4 f32 on
+            # stage-4 activations) and makes sync-BN stats depend on the
+            # device partitioning; two-pass is partition-invariant to
+            # ~1e-7, so 1-process and N-process training agree
+            # (tests/test_multihost.py pins this)
+            use_fast_variance=False,
             name="bn",
         )(x)
         if self.relu:
