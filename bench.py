@@ -33,12 +33,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # axon-tunnel calibration: until a process completes one device->host
-    # transfer, block_until_ready acks do NOT imply device completion and
-    # timings read absurdly fast.  One real fetch switches the runtime
-    # into its synchronous dispatch path, after which block-per-iteration
-    # timing is honest.  The first fetch can itself block for minutes, so
-    # it runs in a daemon thread with a timeout; on normal TPU hardware it
+    # axon-tunnel calibration: block_until_ready acks do NOT reliably
+    # imply device completion (observed even after a warm fetch), so
+    # every timed loop ends in a real device fetch (timed_min below).
+    # The first fetch of a process can itself block for minutes, so it
+    # runs in a daemon thread with a timeout; on normal TPU hardware it
     # completes instantly.
     import threading
     fetched = threading.Event()
@@ -52,6 +51,32 @@ def main():
     t.join(timeout=float(os.environ.get("FASTDET_BENCH_FETCH_TIMEOUT",
                                         "600")))
     sync_mode = fetched.is_set()
+
+    # Even after the warm fetch, the relay has been observed to stay in
+    # async-ack mode for a whole process (block_until_ready returns
+    # before execution → absurd readings, e.g. 7e7 img/s).  Every timed
+    # loop below therefore forces REAL completion by fetching a few
+    # bytes of the final output, and subtracts the measured fixed fetch
+    # overhead (~30 ms under the relay, ~µs on a local host).
+    import jax.numpy as _jnp
+    _probe = jax.device_put(_jnp.zeros((8, 128)))
+    jax.device_get(_probe)
+    _fts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(_probe)
+        _fts.append(time.perf_counter() - t0)
+    fetch_ms = float(np.median(_fts) * 1e3)
+
+    def timed_min(dispatch, fetch, reps):
+        """min over reps of (dispatch→tiny-fetch) minus fetch overhead."""
+        fetch(dispatch())                       # warm / compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch(dispatch())
+            ts.append(time.perf_counter() - t0 - fetch_ms * 1e-3)
+        return max(min(ts), 1e-9)
 
     from fastdet.config import Config
     from fastdet.kernels.fused_infer import build_fused_forward
@@ -116,24 +141,23 @@ def main():
     imgs_k = jax.device_put(jnp.asarray(rng.randint(
         0, 255, (chain, batch, 48, npad), np.uint8)))
 
-    jax.block_until_ready(detect_chain(packed, imgs_k, anchors))
-
-    # batch-1 latency, single dispatch (includes transport overhead;
-    # dominated by the ~28 ms axon relay here, ~sub-ms on a local host)
+    # batch-1 latency, single dispatch INCLUDING result fetch (the
+    # round-trip a remote client sees; dominated by the ~28 ms axon
+    # relay here, ~sub-ms on a local host)
     img1 = jax.device_put(jnp.asarray(
         rng.randint(0, 255, (1, 48, npad), np.uint8)))
     detect1 = jax.jit(fused_detect)
-    jax.block_until_ready(detect1(packed, img1, anchors))
+    jax.device_get(detect1(packed, img1, anchors)[1])
     lat = []
     for _ in range(30):
         t0 = time.perf_counter()
-        jax.block_until_ready(detect1(packed, img1, anchors))
+        jax.device_get(detect1(packed, img1, anchors)[1])
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 
     # batch-1 latency, on-chip: K sequential batch-1 detects inside one
     # program; the carried sum forces each step to finish before the next
-    k1 = 64
+    k1 = 128
     imgs_1k = jax.device_put(jnp.asarray(rng.randint(
         0, 255, (k1, 1, 48, npad), np.uint8)))
 
@@ -145,21 +169,15 @@ def main():
         s, _ = jax.lax.scan(body, jnp.float32(0), images_k)
         return s
 
-    jax.block_until_ready(chain_b1(packed, imgs_1k, anchors))
-    b1_ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain_b1(packed, imgs_1k, anchors))
-        b1_ts.append((time.perf_counter() - t0) / k1)
-    b1_chip_ms = float(min(b1_ts) * 1e3)
+    b1_chip_ms = timed_min(
+        lambda: chain_b1(packed, imgs_1k, anchors),
+        lambda s: float(s), 5) / k1 * 1e3
 
-    # throughput: block every iteration; results stay on device (no
-    # device_get — under the axon relay, blocking only on the final
-    # dispatch under-reports because acks don't imply execution order)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(detect_chain(packed, imgs_k, anchors))
-    dt = (time.perf_counter() - t0) / iters
+    # throughput: every rep ends in a tiny device fetch of the last
+    # chain step's output (timed_min), which forces real execution —
+    # block_until_ready acks alone are NOT trustworthy under the relay
+    dt = timed_min(lambda: detect_chain(packed, imgs_k, anchors),
+                   lambda out: jax.device_get(out[1][-1, :1]), iters)
     img_per_s = chain * batch / dt
 
     # stretch config: 640×640 device-resident throughput (BASELINE.json).
@@ -188,13 +206,9 @@ def main():
         b6, k6 = 64, 8
         imgs6 = jax.device_put(jnp.asarray(rng.randint(
             0, 255, (k6, b6, 48, 160 * 160), np.uint8)))
-        jax.block_until_ready(chain640(packed6, imgs6, anchors))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(chain640(packed6, imgs6, anchors))
-            ts.append(time.perf_counter() - t0)
-        img_s_640 = round(k6 * b6 / min(ts), 1)
+        dt6 = timed_min(lambda: chain640(packed6, imgs6, anchors),
+                        lambda out: jax.device_get(out[1][-1, :1]), 3)
+        img_s_640 = round(k6 * b6 / dt6, 1)
 
     # second model family: anchor-free (FastestDet-style) detect
     # throughput, device-resident chained batches on the XLA path (its
@@ -219,13 +233,9 @@ def main():
         ab, ak = 256, 32
         af_imgs = jax.device_put(jnp.asarray(rng.randint(
             0, 255, (ak, ab, cfg.height, cfg.width, 3), np.uint8)))
-        jax.block_until_ready(af_chain(af_vars, af_imgs))
-        ats = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(af_chain(af_vars, af_imgs))
-            ats.append(time.perf_counter() - t0)
-        af_img_s = round(ak * ab / min(ats), 1)
+        adt = timed_min(lambda: af_chain(af_vars, af_imgs),
+                        lambda out: jax.device_get(out[1][-1, :1]), 3)
+        af_img_s = round(ak * ab / adt, 1)
         del af_imgs
 
     # end-to-end serving rate: image FILES → native host decode + resize
@@ -279,12 +289,14 @@ def main():
     # the driver artifact must carry the framework's flagship training
     # number (reference: ~4 min/COCO epoch on a GTX 1660 Ti,
     # README.md:7; here ≈16 s at 7k img/s true-bf16).  The chain itself
-    # (8 × b256, min of 3 reps) takes ~1 s per rep once compiled — the
-    # one-time compile dominates.  FASTDET_BENCH_TRAIN=0 skips.
+    # (16 × b256, min of 3 reps; deep enough that the ~25 ms relay
+    # dispatch overhead is <5% of a rep) takes ~1 s per rep once
+    # compiled — the one-time compile dominates.  FASTDET_BENCH_TRAIN=0
+    # skips.
     train_img_s = None
     if os.environ.get("FASTDET_BENCH_TRAIN", "1") == "1":
         from fastdet.train.trainer import Trainer
-        tb, tk = 256, 8
+        tb, tk = 256, 16
         tcfg = Config.from_dict({
             "classes": cfg.classes, "width": cfg.width,
             "height": cfg.height, "anchor_num": cfg.anchor_num,
@@ -305,15 +317,14 @@ def main():
         tmask = np.zeros((tk, tb, 8), bool)
         tmask[..., 0] = True
         tlabs, tmask = jnp.asarray(tlabs), jnp.asarray(tmask)
-        tstate, _ = chained(tstate, timgs, tlabs, tmask)
-        jax.block_until_ready(tstate.step)
-        tts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            tstate, _ = chained(tstate, timgs, tlabs, tmask)
-            jax.block_until_ready(tstate.step)
-            tts.append(time.perf_counter() - t0)
-        train_img_s = round(tk * tb / min(tts), 1)
+
+        def tdispatch():
+            nonlocal tstate
+            tstate, mk = chained(tstate, timgs, tlabs, tmask)
+            return mk
+        tdt = timed_min(tdispatch,
+                        lambda mk: jax.device_get(mk["total"][-1:]), 3)
+        train_img_s = round(tk * tb / tdt, 1)
 
     result = {
         "metric": "fused_inference_images_per_sec_per_chip_352",
@@ -334,6 +345,7 @@ def main():
         "input_format": "s2d_u8",
         "backend": jax.default_backend(),
         "sync_verified": bool(sync_mode),
+        "fetch_ms": round(fetch_ms, 3),
     }
     print(json.dumps(result))
 
