@@ -38,7 +38,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.device_get(jnp.zeros((8, 128)))   # axon sync handshake
+    jax.device_get(jnp.zeros((8, 128)))   # axon handshake
+    # fixed device->host fetch overhead, subtracted from every rep (the
+    # timed loops end in a real scalar fetch — block_until_ready acks
+    # are not trustworthy under the relay; see bench.py)
+    probe = jax.device_put(jnp.zeros((8, 128)))
+    fts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(probe)
+        fts.append(time.perf_counter() - t0)
+    fetch_s = float(np.median(fts))
 
     from fastdet.config import Config
     from fastdet.kernels.fused_infer import build_fused_forward
@@ -75,12 +85,12 @@ def main():
             s, _ = jax.lax.scan(body, jnp.float32(0), images_k)
             return s
 
-        jax.block_until_ready(chained(packed, imgs_k, anchors))
+        float(chained(packed, imgs_k, anchors))          # warm + compile
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(chained(packed, imgs_k, anchors))
-            ts.append(time.perf_counter() - t0)
+            float(chained(packed, imgs_k, anchors))      # real fetch
+            ts.append(time.perf_counter() - t0 - fetch_s)
         return min(ts) / (chain * b) * 1e6      # µs/img
 
     stages = []
