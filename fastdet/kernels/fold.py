@@ -96,6 +96,51 @@ def pack_s2_block(params: dict, stats: dict, cin: int, cout: int
             "wpd": wpd, "bpd": bpd, "wpp": wpp, "bpp": bpp}
 
 
+def pack_s2_block_fused(params: dict, stats: dict, cin: int, cout: int
+                        ) -> Dict[str, np.ndarray]:
+    """Stride-2 ShuffleV2 block packed for the PHASE-PACKED Pallas
+    prologue (fused_infer._s2span_kernel).
+
+    Input layout there: (4·cin, N) — the four spatial phases
+    p = (y%2)·2 + (x%2) of the stage's input grid stacked phase-major on
+    sublanes, lanes the stride-2 OUTPUT grid.  In that layout every
+    stride-2 conv tap is a coarse lane roll from a statically chosen
+    phase plane (the space-to-depth trick the fused stem uses), so the
+    whole block runs as matmuls + rolls — no strided lane addressing.
+
+      * `wa_blk` (4·mid, 4·cin): pw1 applied per phase as one
+        block-diagonal matmul (the same folded pw1 on each diagonal
+        block — a 1×1 conv is phase-independent).
+      * `wc` (mid, 9·mid): dw3×3(s2) ∘ pw2 composed (no ReLU between,
+        reference shufflenetv2.py:25-32), tap-major K.
+      * `wp` (mid, 9·cin): proj dw3×3(s2) ∘ proj pw composed (same
+        no-ReLU structure on the projection branch,
+        shufflenetv2.py:34-44).
+    """
+    mid = cout // 2
+    w1, b1 = _fold_pw(params["main_pw"], stats["main_pw"])     # (cin, mid)
+    wd, bd = _fold_dw(params["main_dw"], stats["main_dw"])     # (3,3,mid)
+    w2, b2 = _fold_pw(params["main_pw_linear"], stats["main_pw_linear"])
+    wpd, bpd = _fold_dw(params["proj_dw"], stats["proj_dw"])   # (3,3,cin)
+    wpp, bpp = _fold_pw(params["proj_pw"], stats["proj_pw"])   # (cin, mid)
+
+    wa_blk = np.zeros((4 * mid, 4 * cin), np.float32)
+    for p in range(4):
+        wa_blk[p * mid:(p + 1) * mid, p * cin:(p + 1) * cin] = w1.T
+    ba_blk = np.tile(b1, 4)
+
+    wc = np.zeros((mid, 9 * mid), np.float32)
+    wp = np.zeros((mid, 9 * cin), np.float32)
+    for t in range(9):
+        dy, dx = t // 3 - 1, t % 3 - 1
+        wc[:, t * mid:(t + 1) * mid] = w2.T * wd[dy + 1, dx + 1][None, :]
+        wp[:, t * cin:(t + 1) * cin] = wpp.T * wpd[dy + 1, dx + 1][None, :]
+    bc = w2.T @ bd + b2
+    bp = wpp.T @ bpd + bpp
+    return {"wa": wa_blk, "ba": ba_blk, "wc": wc, "bc": bc,
+            "wp": wp, "bp": bp}
+
+
 def pack_dwconvblock(params: dict, stats: dict) -> Dict[str, np.ndarray]:
     """Head DWConvBlock: dw5 + pw + dw5 + pw (second pw un-ReLU'd)."""
     out = {}
@@ -139,6 +184,11 @@ def pack_fused_weights(variables: dict, dtype=np.float32) -> Dict[str, Any]:
                             stage_cin[stage], cout)
         for k, v in blk.items():
             packed[f"s{stage}_0_{k}"] = v
+        blkf = pack_s2_block_fused(bb_p[f"stage{stage}_0"],
+                                   bb_s[f"stage{stage}_0"],
+                                   stage_cin[stage], cout)
+        for k, v in blkf.items():
+            packed[f"s{stage}_0f_{k}"] = v
 
     # stride-1 spans of each stage (block 0 of each stage is stride-2)
     stage_channels = {2: 48, 3: 96, 4: 192}

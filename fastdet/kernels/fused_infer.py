@@ -59,12 +59,15 @@ _STAGES = ((2, 4, 48), (3, 8, 96), (4, 4, 192))
 # v5e: the composed-matmul tap stack scales with C·N; beyond these the
 # Mosaic scoped-vmem allocator overflows)
 _LANE_BUDGET = {48: 8192, 96: 8192, 192: 2048}
+# the fused stride-2 prologue holds a (4·cin, N) input block + both
+# branch accumulators on top of the span working set
+_LANE_BUDGET_S2 = {48: 8192, 96: 4096, 192: 2048}
 
 
-def _pick_group(b: int, nimg: int, c: int) -> int:
+def _pick_group(b: int, nimg: int, c: int, budgets=None) -> int:
     """Largest power-of-2 divisor of b with g·nimg within the lane
     budget (at 352² this lands on the measured sweet spots 4/16/16)."""
-    budget = _LANE_BUDGET.get(c, 4096)
+    budget = (budgets or _LANE_BUDGET).get(c, 4096)
     g = 1
     while (b % (g * 2) == 0) and (g * 2 * nimg <= budget):
         g *= 2
@@ -73,38 +76,39 @@ def _pick_group(b: int, nimg: int, c: int) -> int:
 
 # ---------------------------------------------------------------- kernel
 
-def _span_kernel(x_ref, *refs, nblk: int, h: int, w: int, nimg: int,
-                 mid: int, dtype):
-    """`nblk` stride-1 ShuffleV2 blocks on a (1, C, N) VMEM block.
+def _mm(a, b):
+    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _lane_geom(n: int, nimg: int, w: int):
+    """Per-lane (col, row) of the packed per-image grid (G images of
+    `nimg` lanes side by side)."""
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    li = lane % nimg
+    return li % w, li // w
+
+
+def _span_blocks(x, wrefs, nblk, h, w, nimg, mid, dtype):
+    """`nblk` stride-1 ShuffleV2 blocks on a (C, N) register tile.
 
     Per block: one merged (C,C) matmul (pw1+odd-select on top, even
     passthrough below), 9 masked lane-rolls of the ReLU'd main branch,
     one composed (C/2, 9·C/2) matmul, row-concat.  N = G·nimg lanes,
     G images side by side; masks keep rolls from borrowing across rows,
     images, or padding."""
-    o_ref = refs[-1]
-    wrefs = refs[:-1]
-    n = x_ref.shape[-1]
-    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    li = lane % nimg
-    col = li % w
-    row = li // w
+    n = x.shape[-1]
+    col, row = _lane_geom(n, nimg, w)
     valid = []
     for t in range(9):
         dy, dx = t // 3 - 1, t % 3 - 1
         valid.append((col + dx >= 0) & (col + dx < w)
                      & (row + dy >= 0) & (row + dy < h))
 
-    def mm(a, b):
-        return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
     packed_rolls = dtype == jnp.bfloat16
-
-    x = x_ref[0]
     for i in range(nblk):
         wa, ba, wc, bc = wrefs[4 * i:4 * i + 4]
-        a = mm(wa[...], x) + ba[...][:, None]
+        a = _mm(wa[...], x) + ba[...][:, None]
         y = jnp.maximum(a[:mid], 0.)
         xe = a[mid:].astype(dtype)
         if packed_rolls:
@@ -123,10 +127,92 @@ def _span_kernel(x_ref, *refs, nblk: int, h: int, w: int, nimg: int,
             ystack = pltpu.bitcast(ystack, dtype)
         else:
             ystack = ystack.astype(dtype)
-        z = jnp.maximum(mm(wc[...], ystack) + bc[...][:, None],
+        z = jnp.maximum(_mm(wc[...], ystack) + bc[...][:, None],
                         0.).astype(dtype)
         x = jnp.concatenate([xe, z], 0)
-    o_ref[0] = x
+    return x
+
+
+def _span_kernel(x_ref, *refs, nblk: int, h: int, w: int, nimg: int,
+                 mid: int, dtype):
+    """`nblk` stride-1 ShuffleV2 blocks on a (1, C, N) VMEM block."""
+    o_ref = refs[-1]
+    o_ref[0] = _span_blocks(x_ref[0], refs[:-1], nblk, h, w, nimg, mid,
+                            dtype)
+
+
+def _s2_prologue(x, wa, ba, wc, bc, wp, bp, h, w, nimg, cin, mid, dtype):
+    """Stride-2 ShuffleV2 block on PHASE-PACKED input, inside a kernel.
+
+    x (4·cin, N): the stage input's four spatial phases
+    p = (y%2)·2 + (x%2) stacked phase-major on sublanes; lanes are the
+    stride-2 OUTPUT grid (h, w) — i.e. the span grid — G images side by
+    side.  In this layout every stride-2 conv tap (dy,dx) reads phase
+    (dy%2, dx%2) at a coarse lane roll of {-w,0} + {-1,0}: the s2d trick
+    of the fused stem applied to the backbone's downsampling blocks
+    (cites reference shufflenetv2.py:34-55 for the two branches).
+    Both dw3×3(s2)∘pw compositions arrive pre-packed (fold.py
+    `pack_s2_block_fused`) and run as ONE deep-K stacked matmul per
+    branch, like the span blocks — 9 narrow accumulating matmuls were
+    measured ~1.5 µs/img slower at stage 2 (MXU pipeline stalls on
+    K=cin ops issued serially).
+
+    Returns (2·mid, N) = concat[proj, main] on the (h, w) span grid.
+    """
+    n = x.shape[-1]
+    col, row = _lane_geom(n, nimg, w)
+    inb = row < h                       # pad-lane exclusion
+    packed_rolls = dtype == jnp.bfloat16
+
+    a = _mm(wa[...], x) + ba[...][:, None]        # (4·mid, N) f32
+    y = jnp.maximum(a, 0.).astype(dtype)
+    if packed_rolls:
+        ypk = pltpu.bitcast(y, jnp.float32)
+        xpk = pltpu.bitcast(x, jnp.float32)
+        rs = 2                                     # f32 packs 2 bf16 rows
+    else:
+        ypk, xpk, rs = y, x, 1
+
+    ytaps, xtaps = [], []
+    for t in range(9):
+        dy, dx = t // 3 - 1, t % 3 - 1
+        p = (dy % 2) * 2 + (dx % 2)
+        off = (-w if dy < 0 else 0) + (-1 if dx < 0 else 0)
+        if off:
+            mask = inb
+            if dy < 0:
+                mask = mask & (row >= 1)
+            if dx < 0:
+                mask = mask & (col >= 1)
+        for src, csz, taps in ((ypk, mid, ytaps), (xpk, cin, xtaps)):
+            pl_rows = csz // rs
+            tap = src[p * pl_rows:(p + 1) * pl_rows]
+            if off:
+                tap = jnp.where(mask, pltpu.roll(tap, (-off) % n, 1), 0.)
+            taps.append(tap)
+
+    def unpack(taps):
+        st = jnp.concatenate(taps, 0)
+        return pltpu.bitcast(st, dtype) if packed_rolls else st.astype(dtype)
+
+    z = _mm(wc[...], unpack(ytaps)) + bc[...][:, None]
+    pr = _mm(wp[...], unpack(xtaps)) + bp[...][:, None]
+    zact = jnp.maximum(z, 0.).astype(dtype)
+    pact = jnp.maximum(pr, 0.).astype(dtype)
+    return jnp.concatenate([pact, zact], 0)
+
+
+def _s2span_kernel(x_ref, *refs, nblk: int, h: int, w: int, nimg: int,
+                   cin: int, mid: int, dtype):
+    """Stride-2 block (phase-packed prologue) + `nblk` span blocks in ONE
+    program: (1, 4·cin, N) phase-packed stage input → (1, 2·mid, N) on
+    the span grid.  Removes the NHWC round-trip + XLA stride-2 block at
+    every stage boundary (docs/PERF.md: the relayouts were charging each
+    stage ~1.5–4 µs/img that no roofline accounts for)."""
+    o_ref = refs[-1]
+    wrefs = refs[:-1]
+    x = _s2_prologue(x_ref[0], *wrefs[:6], h, w, nimg, cin, mid, dtype)
+    o_ref[0] = _span_blocks(x, wrefs[6:], nblk, h, w, nimg, mid, dtype)
 
 
 def _span_call(xt, weights, nblk, h, w, nimg, c, dtype, interpret):
@@ -144,6 +230,24 @@ def _span_call(xt, weights, nblk, h, w, nimg, c, dtype, interpret):
         out_shape=jax.ShapeDtypeStruct(xt.shape, dtype),
         interpret=interpret,
     )(xt, *weights)
+
+
+def _s2span_call(xp, weights, nblk, h, w, nimg, cin, c, dtype, interpret):
+    """xp (B/g, 4·cin, N) phase-packed → (B/g, c, N) span-grid output."""
+    n = xp.shape[-1]
+    kern = functools.partial(_s2span_kernel, nblk=nblk, h=h, w=w,
+                             nimg=nimg, cin=cin, mid=c // 2, dtype=dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(xp.shape[0],),
+        in_specs=[pl.BlockSpec((1, 4 * cin, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec((1, c, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], c, n), dtype),
+        interpret=interpret,
+    )(xp, *weights)
 
 
 # ----------------------------------------------------- fused stem kernel
@@ -441,7 +545,7 @@ def build_fused_forward(variables: dict,
                         anchor_num: int = 3, classes: int = 80,
                         dtype=jnp.bfloat16, interpret: bool = False,
                         input_format: str = "nhwc",
-                        upto: str = None):
+                        upto: str = None, fuse_s2: bool = False):
     """Returns (forward_fn, packed_weights).
 
     forward_fn(images, packed) → raw-logit 6-tuple identical to
@@ -459,7 +563,24 @@ def build_fused_forward(variables: dict,
 
     upto: None for the full forward; "stem"/"s2"/"s3"/"s4" truncate the
     program after that stage and return its NHWC feature map — the
-    per-stage timing hook for tools/perf_breakdown.py (docs/PERF.md)."""
+    per-stage timing hook for tools/perf_breakdown.py (docs/PERF.md).
+
+    fuse_s2: run each backbone stage as ONE Pallas program — the
+    stride-2 block as a phase-packed prologue (`_s2_prologue`) ahead of
+    the span blocks.  Activations stay in the transposed (C, N) layout
+    across stage boundaries (one XLA phase-split permute each) instead
+    of round-tripping through NHWC for an XLA stride-2 block.
+
+    MEASURED RESULT (v5e, b256 chain-16, fetch-forced): the fusion
+    LOSES ~1 µs/img end-to-end (30.2 vs 29.3 µs/img) even after the
+    deep-stacked-matmul rewrite; per-stage: s2 6.84 vs 5.29, s3 3.37
+    vs 2.84, s4 1.77 vs 1.64 µs/img.  The phase-split permute
+    (6-D transpose) + the larger kernel's VMEM pressure cost more than
+    the NHWC round-trip they replace — XLA's stride-2 grouped conv is
+    already near its latency floor at these sizes.  Default is
+    therefore False; the path is kept numerically verified (parity
+    tests) as the starting point for a future whole-backbone single
+    program (which would also need the stem emitted phase-packed)."""
     if input_format not in ("nhwc", "s2d_u8"):
         raise ValueError(f"unknown input_format {input_format!r}")
     # whole-image stem programs hold ~1.2 kB VMEM per lane; larger
@@ -478,9 +599,10 @@ def build_fused_forward(variables: dict,
     h4, w4 = ih // 4, iw // 4          # after stem+pool
     hw4 = h4 * w4
 
-    def forward(images, p):
+    def stem(images, p, want_transposed: bool):
+        """→ (B, 24, hw4) transposed or (B, h4, w4, 24) NHWC."""
+        b = images.shape[0]
         if input_format == "s2d_u8":
-            b = images.shape[0]
             if stem_chunked:
                 ys = _stem_call_chunked(images, p["stem_w96"],
                                         p["stem_b96"], h4, w4, dtype,
@@ -488,14 +610,22 @@ def build_fused_forward(variables: dict,
             else:
                 ys = _stem_call(images, p["stem_w96"], p["stem_b96"],
                                 h4, w4, dtype, interpret)[:, :, :hw4]
-            x = ys.transpose(0, 2, 1).reshape(b, h4, w4, 24)
-        else:
-            x = images.astype(dtype) / jnp.asarray(255.0, dtype)
-            x = _conv(x, p["stem_w"], 2) + p["stem_b"]
-            x = jnp.maximum(x, 0.0).astype(dtype)
-            x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
-                                  (1, 2, 2, 1),
-                                  [(0, 0), (1, 1), (1, 1), (0, 0)])
+            if want_transposed:
+                return ys
+            return ys.transpose(0, 2, 1).reshape(b, h4, w4, 24)
+        x = images.astype(dtype) / jnp.asarray(255.0, dtype)
+        x = _conv(x, p["stem_w"], 2) + p["stem_b"]
+        x = jnp.maximum(x, 0.0).astype(dtype)
+        x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1),
+                              [(0, 0), (1, 1), (1, 1), (0, 0)])
+        if want_transposed:
+            return x.reshape(b, hw4, 24).transpose(0, 2, 1)
+        return x
+
+    def forward_xla_s2(images, p):
+        """Round-2 path: XLA stride-2 blocks, NHWC between stages."""
+        x = stem(images, p, want_transposed=False)
         if upto == "stem":
             return x
         b = images.shape[0]
@@ -527,4 +657,43 @@ def build_fused_forward(variables: dict,
                 return x
         return _fpn_xla(feats[3], feats[4], p, dtype)
 
-    return forward, packed
+    def forward_fused_s2(images, p):
+        """One Pallas program per stage; activations stay transposed
+        across stage boundaries (a phase-split permute replaces the
+        NHWC round-trip + XLA stride-2 block)."""
+        if upto == "stem":
+            return stem(images, p, want_transposed=False)
+        b = images.shape[0]
+        xt_full = stem(images, p, want_transposed=True)  # (B, 24, hw)
+        h, w = h4, w4
+        cin = 24
+        feats = {}
+        for sid, reps, c in _STAGES:
+            h, w = h // 2, w // 2
+            hw = h * w
+            nimg = ((hw + 127) // 128) * 128
+            g = _pick_group(b, nimg, c, _LANE_BUDGET_S2)
+            # phase-split: (B, cin, 2h·2w) → (B, 4·cin, hw), phase-major
+            xp = xt_full.reshape(b, cin, h, 2, w, 2)
+            xp = xp.transpose(0, 3, 5, 1, 2, 4).reshape(b, 4 * cin, hw)
+            xp = jnp.pad(xp, ((0, 0), (0, 0), (0, nimg - hw)))
+            xp = xp.reshape(b // g, g, 4 * cin, nimg)
+            xp = xp.transpose(0, 2, 1, 3).reshape(b // g, 4 * cin,
+                                                  g * nimg)
+            ws = ([p[f"s{sid}_0f_{nm}"]
+                   for nm in ("wa", "ba", "wc", "bc", "wp", "bp")]
+                  + [p[f"s{sid}_{i}_{nm}"] for i in range(1, reps)
+                     for nm in ("wa", "ba", "wc", "bc")])
+            xt = _s2span_call(xp, ws, reps - 1, h, w, nimg, cin, c,
+                              dtype, interpret)
+            xu = xt.reshape(b // g, c, g, nimg).transpose(0, 2, 1, 3)
+            xt_full = xu.reshape(b, c, nimg)[:, :, :hw]
+            cin = c
+            if upto == f"s{sid}" or sid >= 3:
+                nhwc = xt_full.transpose(0, 2, 1).reshape(b, h, w, c)
+                if upto == f"s{sid}":
+                    return nhwc
+                feats[sid] = nhwc
+        return _fpn_xla(feats[3], feats[4], p, dtype)
+
+    return (forward_fused_s2 if fuse_s2 else forward_xla_s2), packed

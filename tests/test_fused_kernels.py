@@ -16,14 +16,15 @@ from tests.conftest import requires_reference
 
 
 @requires_reference
-def test_fused_forward_matches_linen(ref_variables):
+@pytest.mark.parametrize("fuse_s2", [False, True])
+def test_fused_forward_matches_linen(ref_variables, fuse_s2):
     model = Detector(classes=80, anchor_num=3)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randint(0, 255, (2, 352, 352, 3), np.uint8))
     ref = model.apply(ref_variables, img.astype(jnp.float32) / 255.0,
                       train=False)
     fwd, packed = build_fused_forward(ref_variables, dtype=jnp.float32,
-                                      interpret=True)
+                                      interpret=True, fuse_s2=fuse_s2)
     outs = fwd(img, packed)
     for i, (a, b) in enumerate(zip(ref, outs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
@@ -31,7 +32,8 @@ def test_fused_forward_matches_linen(ref_variables):
 
 
 @requires_reference
-def test_fused_forward_s2d_matches_linen(ref_variables):
+@pytest.mark.parametrize("fuse_s2", [False, True])
+def test_fused_forward_s2d_matches_linen(ref_variables, fuse_s2):
     """The s2d_u8 input path (fused Pallas stem) matches the linen model."""
     from fastdet.kernels.fused_infer import pack_images_s2d
     model = Detector(classes=80, anchor_num=3)
@@ -41,7 +43,8 @@ def test_fused_forward_s2d_matches_linen(ref_variables):
                       train=False)
     fwd, packed = build_fused_forward(ref_variables, dtype=jnp.float32,
                                       interpret=True,
-                                      input_format="s2d_u8")
+                                      input_format="s2d_u8",
+                                      fuse_s2=fuse_s2)
     outs = fwd(jnp.asarray(pack_images_s2d(np.asarray(img))), packed)
     for i, (a, b) in enumerate(zip(ref, outs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
