@@ -124,10 +124,12 @@ def main():
     # Throughput pipeline: a lax.scan chains CHAIN batches inside ONE
     # program, the way a saturated serving loop feeds the chip — this
     # measures the chip, not per-dispatch host/runtime overhead (which is
-    # ~30 ms under the axon relay).  B=256 is the measured VMEM-locality
-    # sweet spot for this net.
-    batch = int(os.environ.get("FASTDET_BENCH_BATCH", "256"))
-    chain = int(os.environ.get("FASTDET_BENCH_CHAIN", "32"))
+    # ~30 ms under the axon relay).  B=128 is the measured sweet spot
+    # (v5e sweep at equal total images: b32 38.3, b64 28.6, b128 23.7,
+    # b256 26.4, b512 30.2, b1024 41.1 µs/img — small enough for VMEM
+    # locality, large enough to amortize per-program overhead).
+    batch = int(os.environ.get("FASTDET_BENCH_BATCH", "128"))
+    chain = int(os.environ.get("FASTDET_BENCH_CHAIN", "64"))
     iters = int(os.environ.get("FASTDET_BENCH_ITERS", "5"))
 
     @jax.jit
@@ -137,9 +139,15 @@ def main():
         _, outs = jax.lax.scan(body, None, images_k)
         return outs
 
+    # synthetic inputs are generated ON DEVICE (a dev-tunnel device_put
+    # runs at ~5-30 MB/s; multi-GB uploads would dominate the bench)
+    def dev_randu8(shape, seed=0):
+        return jax.jit(lambda k: jax.random.randint(
+            k, shape, 0, 255, jnp.uint8))(jax.random.PRNGKey(seed))
+
     rng = np.random.RandomState(0)
-    imgs_k = jax.device_put(jnp.asarray(rng.randint(
-        0, 255, (chain, batch, 48, npad), np.uint8)))
+    imgs_k = dev_randu8((chain, batch, 48, npad))
+    imgs_k.block_until_ready()
 
     # batch-1 latency, single dispatch INCLUDING result fetch (the
     # round-trip a remote client sees; dominated by the ~28 ms axon
@@ -158,8 +166,7 @@ def main():
     # batch-1 latency, on-chip: K sequential batch-1 detects inside one
     # program; the carried sum forces each step to finish before the next
     k1 = 128
-    imgs_1k = jax.device_put(jnp.asarray(rng.randint(
-        0, 255, (k1, 1, 48, npad), np.uint8)))
+    imgs_1k = dev_randu8((k1, 1, 48, npad), seed=1)
 
     @jax.jit
     def chain_b1(packed, images_k, anchors_arg):
@@ -179,6 +186,7 @@ def main():
     dt = timed_min(lambda: detect_chain(packed, imgs_k, anchors),
                    lambda out: jax.device_get(out[1][-1, :1]), iters)
     img_per_s = chain * batch / dt
+    del imgs_k, imgs_1k                 # free HBM for the sections below
 
     # stretch config: 640×640 device-resident throughput (BASELINE.json).
     # Named _chip, not _streaming: a lax.scan chains pre-uploaded device
@@ -203,12 +211,16 @@ def main():
             _, outs = jax.lax.scan(body, None, images_k)
             return outs
 
-        b6, k6 = 64, 8
-        imgs6 = jax.device_put(jnp.asarray(rng.randint(
-            0, 255, (k6, b6, 48, 160 * 160), np.uint8)))
+        # b128/k16 measured 95.7 µs/img vs 185 at the old b64/k8 — the
+        # same b128 batch optimum as 352², plus a longer chain amortizing
+        # the per-dispatch overhead over 4× the images
+        b6, k6 = 128, 16
+        imgs6 = dev_randu8((k6, b6, 48, 160 * 160), seed=2)
+        imgs6.block_until_ready()
         dt6 = timed_min(lambda: chain640(packed6, imgs6, anchors),
                         lambda out: jax.device_get(out[1][-1, :1]), 3)
         img_s_640 = round(k6 * b6 / dt6, 1)
+        del imgs6
 
     # second model family: anchor-free (FastestDet-style) detect
     # throughput, device-resident chained batches on the XLA path (its
@@ -230,9 +242,11 @@ def main():
                 return None, af_detect(v, im)
             return jax.lax.scan(body, None, images_k)[1]
 
-        ab, ak = 256, 32
-        af_imgs = jax.device_put(jnp.asarray(rng.randint(
-            0, 255, (ak, ab, cfg.height, cfg.width, 3), np.uint8)))
+        # b128 measured 29.6 vs b256 34.6 µs/img (same batch optimum as
+        # the fused path)
+        ab, ak = 128, 64
+        af_imgs = dev_randu8((ak, ab, cfg.height, cfg.width, 3), seed=3)
+        af_imgs.block_until_ready()
         adt = timed_min(lambda: af_chain(af_vars, af_imgs),
                         lambda out: jax.device_get(out[1][-1, :1]), 3)
         af_img_s = round(ak * ab / adt, 1)
@@ -310,8 +324,8 @@ def main():
         tstate = trainer.init_state(jax.tree.map(
             lambda x: jnp.asarray(x, jnp.float32), variables))
         chained = trainer.make_chained_step(tk)
-        timgs = jnp.asarray(rng.randint(
-            0, 255, (tk, tb, cfg.height, cfg.width, 3), np.uint8))
+        timgs = dev_randu8((tk, tb, cfg.height, cfg.width, 3), seed=4)
+        timgs.block_until_ready()
         tlabs = np.zeros((tk, tb, 8, 5), np.float32)
         tlabs[..., 0, :] = [1, 0.5, 0.5, 0.3, 0.3]
         tmask = np.zeros((tk, tb, 8), bool)
