@@ -310,7 +310,9 @@ def main():
     train_img_s = None
     if os.environ.get("FASTDET_BENCH_TRAIN", "1") == "1":
         from fastdet.train.trainer import Trainer
-        tb, tk = 256, 16
+        # swept: b64 4.4k, b128 7.45k, b256 7.0k, b512 6.0k img/s —
+        # the same b128 optimum as the serving paths
+        tb, tk = 128, 32
         tcfg = Config.from_dict({
             "classes": cfg.classes, "width": cfg.width,
             "height": cfg.height, "anchor_num": cfg.anchor_num,
