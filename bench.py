@@ -11,8 +11,9 @@ TPU number; its 3.29 ms Kirin-990 latency ≈ 304 img/s).
 The compute path is the Pallas fused-inference pipeline
 (fastdet/kernels/fused_infer.py: transposed lane-packed span kernels +
 composed dw∘pw matmuls + the fused s2d stem + the VMEM-resident NMS
-suppression kernel), measured ~37.5k img/s/chip at 352² b256 bf16 on
-v5e (plain-XLA forward + dense postprocess: ~29k).  Latency is reported two ways: `p50_latency_ms_b1` is a single
+suppression kernel), measured ~48k img/s/chip at 352² b128 bf16 on
+v5e after null-RTT correction (plain-XLA forward + dense postprocess:
+~29k).  Latency is reported two ways: `p50_latency_ms_b1` is a single
 batch-1 dispatch (includes host→device transport — under the axon relay
 that is ~28 ms of tunnel overhead); `latency_ms_b1_chip` chains K
 batch-1 inferences inside ONE device program and reports per-step time,
@@ -68,14 +69,33 @@ def main():
         _fts.append(time.perf_counter() - t0)
     fetch_ms = float(np.median(_fts) * 1e3)
 
+    # The relay charges a FIXED round-trip on every dispatch→fetch pair
+    # (~26-32 ms here; ~µs on a local TPU host) — measured as the time
+    # of a null program (x+1 on a scalar) to completion-fetch.  Chip
+    # metrics subtract this: a 4096-step null lax.scan completes in the
+    # same ~26 ms as a single null dispatch, so the RTT is pure
+    # transport, not per-step work.  Validated by consistency: with the
+    # subtraction, b128 chain-64 and chain-256 runs agree to <1%
+    # (20.9 vs 20.8 µs/img); without it they disagree by 16%.
+    _null = jax.jit(lambda x: x + 1.0)
+    _v = _jnp.float32(0)
+    float(_null(_v))
+    _rtts = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(_null(_v))
+        _rtts.append(time.perf_counter() - t0)
+    null_rtt_ms = float(min(_rtts) * 1e3)
+
     def timed_min(dispatch, fetch, reps):
-        """min over reps of (dispatch→tiny-fetch) minus fetch overhead."""
+        """min over reps of (dispatch→tiny-fetch) minus the fixed
+        dispatch+fetch round-trip (null_rtt_ms)."""
         fetch(dispatch())                       # warm / compile
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             fetch(dispatch())
-            ts.append(time.perf_counter() - t0 - fetch_ms * 1e-3)
+            ts.append(time.perf_counter() - t0 - null_rtt_ms * 1e-3)
         return max(min(ts), 1e-9)
 
     from fastdet.config import Config
@@ -165,7 +185,9 @@ def main():
 
     # batch-1 latency, on-chip: K sequential batch-1 detects inside one
     # program; the carried sum forces each step to finish before the next
-    k1 = 128
+    # deep enough that the per-step signal (~512 × 0.15 ms ≈ 77 ms)
+    # dwarfs the ±2 ms jitter of the subtracted relay round-trip
+    k1 = 512
     imgs_1k = dev_randu8((k1, 1, 48, npad), seed=1)
 
     @jax.jit
@@ -362,6 +384,7 @@ def main():
         "backend": jax.default_backend(),
         "sync_verified": bool(sync_mode),
         "fetch_ms": round(fetch_ms, 3),
+        "null_rtt_ms": round(null_rtt_ms, 3),
     }
     print(json.dumps(result))
 

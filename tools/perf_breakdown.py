@@ -49,6 +49,19 @@ def main():
         jax.device_get(probe)
         fts.append(time.perf_counter() - t0)
     fetch_s = float(np.median(fts))
+    # ... and the FIXED dispatch→fetch round-trip the relay charges per
+    # timed rep (~26-32 ms; measured with a null program — see bench.py
+    # null_rtt_ms).  Subtracting it makes the per-stage cums honest; the
+    # stage DIFFERENCES were already clean (the constant cancels).
+    null = jax.jit(lambda x: x + 1.0)
+    v = jnp.float32(0)
+    float(null(v))
+    rtts = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(null(v))
+        rtts.append(time.perf_counter() - t0)
+    fetch_s = float(min(rtts))
 
     from fastdet.config import Config
     from fastdet.kernels.fused_infer import build_fused_forward
@@ -69,9 +82,10 @@ def main():
     npad = (h4 * w4 + 127) // 128 * 128
 
     b, chain = args.batch, args.chain
-    rng = np.random.RandomState(0)
-    imgs_k = jax.device_put(jnp.asarray(rng.randint(
-        0, 255, (chain, b, 48, npad), np.uint8)))
+    # generated on device: dev-tunnel device_put runs at ~5-30 MB/s
+    imgs_k = jax.jit(lambda k: jax.random.randint(
+        k, (chain, b, 48, npad), 0, 255, jnp.uint8))(jax.random.PRNGKey(0))
+    imgs_k.block_until_ready()
 
     def timed(fn):
         """Chained run; carry sums the (reduced) output to serialize."""
