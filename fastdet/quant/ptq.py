@@ -1,0 +1,299 @@
+"""Int8 post-training quantization (PTQ) of the Yolo-FastestV2 detector.
+
+The deploy-mode model is first folded to a flat affine-conv graph (every
+Conv+BN pair → one conv with bias, reusing `fastdet.kernels.fold`), then
+each conv runs as an integer contraction:
+
+  * weights: symmetric per-OUTPUT-CHANNEL int8 (`w ≈ s_w[c] · w_q`),
+    the granularity ncnn's int8 path uses for conv weights;
+  * activations: symmetric per-TENSOR int8 with scales calibrated as
+    the max-|x| seen over a calibration set (`x ≈ s_x · x_q`);
+  * pointwise convs contract int8×int8 → int32 via `lax.dot_general`
+    with `preferred_element_type=int32` — on TPU this is the MXU's
+    native integer matmul; depthwise and the 3×3 stem conv accumulate
+    int32 tap products (VPU work either way);
+  * between ops the int32 accumulator is rescaled to f32
+    (`y = acc · s_x·s_w + b`), ReLU'd, and re-quantized by the next
+    op's calibrated scale — the standard dequant/requant PTQ
+    formulation, which keeps every scale explicit and testable.
+
+Structure mirrors the eval-mode `fastdet.models.Detector` exactly
+(capability parity with reference model/detector.py:7-47 via the same
+module tree); `forward_folded` with `FloatOps` reproduces the linen
+forward to ≤5e-4 (pinned by tests/test_quant.py), so the int8 error is
+attributable to quantization alone.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fastdet.kernels.fold import _fold
+
+_STAGE_CHANNELS = {2: 48, 3: 96, 4: 192}
+_STAGE_REPEATS = ((2, 4), (3, 8), (4, 4))
+
+
+# ------------------------------------------------------------- folding
+
+def fold_model(variables: dict) -> Dict[str, Dict[str, np.ndarray]]:
+    """All Conv+BN pairs folded to {name: {"w", "b"}} (HWIO kernels,
+    per-out-channel bias) + the three bias'd 1×1 head convs."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def walk(pp, ss, prefix):
+        if "conv" in pp and "bn" in pp:
+            w, b = _fold(pp, ss)
+            out[prefix] = {"w": np.asarray(w), "b": np.asarray(b)}
+            return
+        for k in pp:
+            walk(pp[k], ss.get(k, {}), f"{prefix}/{k}")
+
+    walk(p["backbone"], s["backbone"], "backbone")
+    walk(p["fpn"], s["fpn"], "fpn")
+    for h in ("output_reg", "output_obj", "output_cls"):
+        out[h] = {"w": np.asarray(p[h]["kernel"], np.float32),
+                  "b": np.asarray(p[h]["bias"], np.float32)}
+    return out
+
+
+# ------------------------------------------------------------- op sets
+
+class FloatOps:
+    """f32 ops on the folded graph; optionally records per-op input
+    max-|x| (the calibration pass)."""
+
+    def __init__(self, folded, record: bool = False):
+        self.fw = folded
+        self.record = record
+        self.maxabs: Dict[str, jnp.ndarray] = {}
+
+    def _rec(self, name, x):
+        if self.record:
+            m = jnp.max(jnp.abs(x))
+            if name in self.maxabs:        # shared head convs: both sites
+                m = jnp.maximum(m, self.maxabs[name])
+            self.maxabs[name] = m
+
+    def conv(self, name, x, stride, relu):
+        q = self.fw[name]
+        self._rec(name, x)
+        y = lax.conv_general_dilated(
+            x, jnp.asarray(q["w"]), (stride, stride),
+            [(q["w"].shape[0] // 2,) * 2, (q["w"].shape[1] // 2,) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.asarray(q["b"])
+        return jnp.maximum(y, 0.0) if relu else y
+
+    def dw(self, name, x, stride, relu):
+        q = self.fw[name]
+        self._rec(name, x)
+        c = x.shape[-1]
+        y = lax.conv_general_dilated(
+            x, jnp.asarray(q["w"]), (stride, stride),
+            [(q["w"].shape[0] // 2,) * 2, (q["w"].shape[1] // 2,) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+        y = y + jnp.asarray(q["b"])
+        return jnp.maximum(y, 0.0) if relu else y
+
+    def pw(self, name, x, relu):
+        q = self.fw[name]
+        self._rec(name, x)
+        y = x @ jnp.asarray(q["w"][0, 0]) + jnp.asarray(q["b"])
+        return jnp.maximum(y, 0.0) if relu else y
+
+
+def _quant_in(x, scale):
+    return jnp.clip(jnp.round(x * (1.0 / scale)), -127, 127
+                    ).astype(jnp.int8)
+
+
+class QuantOps:
+    """int8 ops: per-tensor activation scales (calibrated), per-channel
+    weight scales, int32 accumulation."""
+
+    def __init__(self, qw, scales: Dict[str, float]):
+        self.qw = qw
+        self.scales = scales
+
+    def _taps_conv(self, name, x, stride, relu, groups):
+        q = self.qw[name]
+        sx = self.scales[name]
+        xq = _quant_in(x, sx)
+        kh, kw = q["wq"].shape[:2]
+        ph, pw_ = kh // 2, kw // 2
+        xp = jnp.pad(xq, ((0, 0), (ph, ph), (pw_, pw_), (0, 0))
+                     ).astype(jnp.int32)
+        oh = (x.shape[1] + 2 * ph - kh) // stride + 1
+        ow = (x.shape[2] + 2 * pw_ - kw) // stride + 1
+        acc = None
+        for dy in range(kh):
+            for dx in range(kw):
+                sl = xp[:, dy:dy + stride * oh:stride,
+                        dx:dx + stride * ow:stride, :]
+                wq_t = q["wq"][dy, dx].astype(jnp.int32)   # (Cin/g, Cout)
+                if groups == 1:
+                    t = lax.dot_general(
+                        sl, wq_t, (((3,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                else:                                      # depthwise
+                    t = sl * wq_t[0][None, None, None, :]
+                acc = t if acc is None else acc + t
+        y = acc.astype(jnp.float32) * (sx * q["sw"]) + q["b"]
+        return jnp.maximum(y, 0.0) if relu else y
+
+    def conv(self, name, x, stride, relu):
+        return self._taps_conv(name, x, stride, relu, groups=1)
+
+    def dw(self, name, x, stride, relu):
+        return self._taps_conv(name, x, stride, relu,
+                               groups=x.shape[-1])
+
+    def pw(self, name, x, relu):
+        q = self.qw[name]
+        sx = self.scales[name]
+        xq = _quant_in(x, sx)
+        y = lax.dot_general(xq, q["wq"][0, 0],
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * q["sw"]) + q["b"]
+        return jnp.maximum(y, 0.0) if relu else y
+
+
+def quantize_weights(folded) -> Dict[str, Dict[str, Any]]:
+    """Per-output-channel symmetric int8: wq int8 HWIO, sw (Cout,) f32."""
+    out = {}
+    for name, q in folded.items():
+        w = np.asarray(q["w"], np.float32)
+        sw = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(0),
+                        1e-12) / 127.0
+        wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+        out[name] = {"wq": jnp.asarray(wq),
+                     "sw": jnp.asarray(sw.astype(np.float32)),
+                     "b": jnp.asarray(np.asarray(q["b"], np.float32))}
+    return out
+
+
+# ----------------------------------------------------- shared structure
+
+def _maxpool(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
+                             (1, 2, 2, 1),
+                             [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+def _upsample2x(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def forward_folded(images_u8, ops) -> Tuple[jnp.ndarray, ...]:
+    """Eval-mode forward on the folded graph (mirrors Detector exactly;
+    reference model/detector.py:32-47 call order).  `images_u8` NHWC
+    uint8; returns the raw-logit 6-tuple."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    y = ops.conv("backbone/first_conv", x, stride=2, relu=True)
+    y = _maxpool(y)
+
+    feats = []
+    for sid, reps in _STAGE_REPEATS:
+        for i in range(reps):
+            nm = f"backbone/stage{sid}_{i}"
+            if i == 0:
+                proj = ops.dw(f"{nm}/proj_dw", y, stride=2, relu=False)
+                proj = ops.pw(f"{nm}/proj_pw", proj, relu=True)
+                m = ops.pw(f"{nm}/main_pw", y, relu=True)
+                m = ops.dw(f"{nm}/main_dw", m, stride=2, relu=False)
+                m = ops.pw(f"{nm}/main_pw_linear", m, relu=True)
+                y = jnp.concatenate([proj, m], axis=-1)
+            else:
+                x_proj, x_main = y[..., 0::2], y[..., 1::2]
+                m = ops.pw(f"{nm}/main_pw", x_main, relu=True)
+                m = ops.dw(f"{nm}/main_dw", m, stride=1, relu=False)
+                m = ops.pw(f"{nm}/main_pw_linear", m, relu=True)
+                y = jnp.concatenate([x_proj, m], axis=-1)
+        feats.append(y)
+    C2, C3 = feats[1], feats[2]
+
+    def dwblock(nm, s):
+        t = ops.dw(f"{nm}/dw1", s, stride=1, relu=True)
+        t = ops.pw(f"{nm}/pw1", t, relu=False)
+        t = ops.dw(f"{nm}/dw2", t, stride=1, relu=True)
+        t = ops.pw(f"{nm}/pw2", t, relu=False)
+        return t
+
+    S3 = ops.pw("fpn/conv1x1_3", C3, relu=True)
+    cls3 = dwblock("fpn/cls_head_3", S3)
+    reg3 = dwblock("fpn/reg_head_3", S3)
+    P2 = jnp.concatenate([_upsample2x(C3), C2], axis=-1)
+    S2 = ops.pw("fpn/conv1x1_2", P2, relu=True)
+    cls2 = dwblock("fpn/cls_head_2", S2)
+    reg2 = dwblock("fpn/reg_head_2", S2)
+
+    return (ops.pw("output_reg", reg2, relu=False),
+            ops.pw("output_obj", cls2, relu=False),
+            ops.pw("output_cls", cls2, relu=False),
+            ops.pw("output_reg", reg3, relu=False),
+            ops.pw("output_obj", cls3, relu=False),
+            ops.pw("output_cls", cls3, relu=False))
+
+
+# --------------------------------------------------------- calibration
+
+def calibrate(folded, calib_images_u8, batch: int = 8
+              ) -> Dict[str, float]:
+    """Max-|x| per quantized-op input over the calibration set.
+
+    One jitted f32 folded forward per batch returning the per-op maxima;
+    the running max is kept on host.  Head convs are applied at both
+    scales with shared weights (reference detector.py:25-31), so their
+    scale is the max over both application sites.
+    """
+    ops = FloatOps(folded, record=True)
+
+    @jax.jit
+    def one(imgs):
+        ops.maxabs = {}
+        forward_folded(imgs, ops)
+        return dict(ops.maxabs)
+
+    out: Dict[str, float] = {}
+    n = len(calib_images_u8)
+    for i in range(0, n, batch):
+        chunk = jnp.asarray(calib_images_u8[i:i + batch])
+        m = jax.device_get(one(chunk))
+        for k, v in m.items():
+            out[k] = max(out.get(k, 0.0), float(v))
+    # scale = max|x|/127 so x_q = round(x/scale) spans the int8 range;
+    # guard degenerate all-zero taps
+    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in out.items()}
+
+
+def build_int8_forward(variables: dict, calib_images_u8,
+                       ) -> Tuple[Callable, Dict[str, float]]:
+    """→ (forward(images_u8) → raw-logit 6-tuple, activation scales).
+
+    The returned forward is jit-compatible and drop-in compatible with
+    `Detector.apply(..., train=False)` / `build_fused_forward` outputs,
+    so the standard `fastdet.ops.postprocess` chain runs unchanged on
+    the int8 logits.
+    """
+    folded = fold_model(variables)
+    scales = calibrate(folded, calib_images_u8)
+    qw = quantize_weights(folded)
+    qops = QuantOps(qw, scales)
+
+    def forward(images_u8):
+        return forward_folded(images_u8, qops)
+
+    return forward, scales
