@@ -23,11 +23,15 @@ def main():
                         help="evaluate through the Pallas fused inference "
                              "path (s2d input layout; interpret mode when "
                              "not on a TPU backend)")
+    parser.add_argument("--int8", type=str, default="",
+                        help="evaluate int8 PTQ inference from a "
+                             "cli/quantize.py artifact (.npz) instead of "
+                             "f32 weights")
     opt = parser.parse_args()
 
     from fastdet.config import Config
     cfg = Config.from_file(opt.data)
-    assert os.path.exists(opt.weights), "invalid weights path"
+    assert opt.int8 or os.path.exists(opt.weights), "invalid weights path"
 
     print("eval config:")
     print("model_name:%s" % cfg.model_name)
@@ -52,7 +56,8 @@ def main():
     from fastdet.io import load_variables
     from fastdet.models.registry import get_family
     family = get_family(opt.model, cfg)
-    variables = jax.tree.map(jnp.asarray, load_variables(opt.weights))
+    variables = (jax.tree.map(jnp.asarray, load_variables(opt.weights))
+                 if not opt.int8 else None)
 
     batch_size = opt.batch or int(cfg.batch_size / (cfg.subdivisions or 1))
     val_ds = DarknetDataset(cfg.val, cfg.width, cfg.height, augment=None)
@@ -68,7 +73,36 @@ def main():
         for images, labels, mask in loader:
             yield jnp.asarray(images), labels, mask
 
-    if opt.fused:
+    if opt.int8:
+        # quantized-accuracy run: the whole val protocol (two passes,
+        # same NMS windows and metrics) on the int8 PTQ graph — the role
+        # of evaluating the reference's ncnn-int8 deployment artifact
+        assert opt.model == "yolo-fastestv2", \
+            "--int8 is only available for the yolo-fastestv2 family"
+        import numpy as np
+        from fastdet.ops.postprocess import postprocess
+        from fastdet.quant import forward_from, load_quantized
+        qw, qscales = load_quantized(opt.int8)
+        fwd_q = forward_from(qw, qscales)
+        qw = jax.tree.map(jnp.asarray, qw)
+        anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(
+            cfg.num_scales, cfg.anchor_num, 2))
+
+        def make_detect(conf_thres, iou_thres, max_nms=1024):
+            # anchors + quantized weights as runtime args, never baked
+            # jit constants (compile blowup on the axon backend — see
+            # fastdet/quant/ptq.py::forward_from)
+            @jax.jit
+            def _d(xs, anchors, weights):
+                outs = list(fwd_q(xs, weights))
+                return postprocess(outs, anchors, (cfg.height, cfg.width),
+                                   conf_thres=conf_thres,
+                                   iou_thres=iou_thres, max_nms=max_nms)
+
+            def detect(_variables, images):
+                return _d(images, anchors, qw)
+            return detect
+    elif opt.fused:
         # the production serving path, eval-grade: fp32 fused forward
         # (Pallas span/stem/NMS kernels) + s2d input packing; metrics
         # must match the linen path (pinned by tests/test_cli.py)

@@ -36,11 +36,14 @@ def main():
     parser.add_argument("--fused", action="store_true",
                         help="run the Pallas fused serving path "
                              "(FusedPipeline; s2d input layout)")
+    parser.add_argument("--int8", type=str, default="",
+                        help="run int8 PTQ inference from a cli/quantize.py "
+                             "artifact (.npz) instead of f32 weights")
     opt = parser.parse_args()
 
     from fastdet.config import Config, load_names
     cfg = Config.from_file(opt.data)
-    assert os.path.exists(opt.weights), "invalid weights path"
+    assert opt.int8 or os.path.exists(opt.weights), "invalid weights path"
     assert os.path.exists(opt.img), "invalid test image path"
 
     import jax
@@ -51,19 +54,44 @@ def main():
     from fastdet.io import load_variables
     from fastdet.models.registry import get_family
     family = get_family(opt.model, cfg)
-    variables = jax.tree.map(jnp.asarray, load_variables(opt.weights))
+    if not opt.int8:
+        variables = jax.tree.map(jnp.asarray, load_variables(opt.weights))
 
     ori_img = cv2.imread(opt.img)
     res_img = cv2.resize(ori_img, (cfg.width, cfg.height),
                          interpolation=cv2.INTER_LINEAR)
 
-    if opt.fused:
+    if opt.int8:
         assert opt.model == "yolo-fastestv2", \
-            "--fused is only available for the yolo-fastestv2 family"
+            "--int8 is only available for the yolo-fastestv2 family"
+        from fastdet.ops.postprocess import postprocess
+        from fastdet.quant import forward_from, load_quantized
+        qw, scales = load_quantized(opt.int8)
+        fwd = forward_from(qw, scales)
+        qw = jax.tree.map(jnp.asarray, qw)
+        anchors = jnp.asarray(
+            np.asarray(cfg.anchors, np.float32).reshape(-1, 3, 2))
+
+        # anchors AND the quantized weights as runtime args, never baked
+        # jit constants (compile blowup on the axon backend — see
+        # .claude/skills/verify and fastdet/quant/ptq.py::forward_from)
+        @jax.jit
+        def detect_q(im, anc, weights):
+            return postprocess(fwd(im, weights), anc,
+                               (cfg.height, cfg.width),
+                               conf_thres=opt.conf, iou_thres=opt.nms)
+
+        batch = jnp.asarray(res_img[None])
+        jax.block_until_ready(detect_q(batch, anchors, qw))    # compile
+        start = time.perf_counter()
+        dets, counts = jax.block_until_ready(detect_q(batch, anchors, qw))
+        end = time.perf_counter()
+    elif opt.fused:
         from fastdet.serve import FusedPipeline
         pipe = FusedPipeline(variables, cfg, conf_thres=opt.conf,
                              iou_thres=opt.nms, dtype=jnp.float32,
-                             interpret=jax.default_backend() != "tpu")
+                             interpret=jax.default_backend() != "tpu",
+                             family=opt.model)
         pipe(res_img[None])                       # compile
         start = time.perf_counter()
         rows = pipe(res_img[None])[0]

@@ -10,7 +10,10 @@ path.
 """
 
 from fastdet.quant.ptq import (build_int8_forward, calibrate, fold_model,
-                               forward_folded, quantize_weights)
+                               forward_folded, forward_from,
+                               load_quantized, quantize_weights,
+                               save_quantized)
 
 __all__ = ["build_int8_forward", "calibrate", "fold_model",
-           "forward_folded", "quantize_weights"]
+           "forward_folded", "forward_from", "load_quantized",
+           "quantize_weights", "save_quantized"]

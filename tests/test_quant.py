@@ -7,6 +7,8 @@ runs the exported net) — here the int8 graph is validated against the
 f32 linen model it quantizes.
 """
 
+import os
+
 import cv2
 import numpy as np
 import pytest
@@ -92,6 +94,156 @@ def _greedy_match(det_a, det_b):
             used[best_j] = True
             ious.append(best)
     return ious
+
+
+@requires_reference
+def test_artifact_roundtrip(ref_variables, golden_u8, tmp_path):
+    """save_quantized → load_quantized reproduces the int8 logits
+    bit-exactly (same int8 kernels, same scales)."""
+    from fastdet.quant import (forward_from, load_quantized,
+                               save_quantized)
+    folded = fold_model(ref_variables)
+    scales = calibrate(folded, golden_u8)
+    qw = quantize_weights(folded)
+    path = str(tmp_path / "q.npz")
+    save_quantized(path, qw, scales)
+    qw2, scales2 = load_quantized(path)
+    assert scales2 == pytest.approx(scales)
+    a = forward_from(qw, scales)(jnp.asarray(golden_u8))
+    b = forward_from(qw2, scales2)(jnp.asarray(golden_u8))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@requires_reference
+@pytest.mark.slow
+def test_quantize_cli_roundtrip(golden_u8, tmp_path):
+    """cli/quantize.py → cli/test.py --int8: the full user workflow
+    (calibrate+save, then detect from the artifact) finds the person."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    calib_dir = tmp_path / "calib"
+    calib_dir.mkdir()
+    cv2.imwrite(str(calib_dir / "a.jpg"), golden_u8[0])
+    cv2.imwrite(str(calib_dir / "b.jpg"),
+                np.clip(golden_u8[0].astype(np.int32) * 3 // 4,
+                        0, 255).astype(np.uint8))
+    art = str(tmp_path / "coco-int8.npz")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+
+    def run(script, *args):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "cli", script), *args],
+            capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+
+    from tests.conftest import COCO_DATA
+    r = run("quantize.py", "--data", COCO_DATA,
+            "--weights", os.path.join(repo, "weights/coco2017-ref.npz"),
+            "--calib", str(calib_dir), "--output", art)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(art)
+
+    rt = run("test.py", "--data", COCO_DATA, "--int8", art,
+             "--img", GOLDEN_IMG, "--output", str(tmp_path / "res.png"))
+    assert rt.returncode == 0, rt.stderr[-3000:]
+    assert "person" in rt.stdout
+
+
+@requires_reference
+@pytest.mark.slow
+def test_int8_map_vs_f32_pseudo_gt(ref_variables, coco_cfg):
+    """Quantized-accuracy number: mAP@0.5 of the int8 chain scored
+    against the f32 chain's own conf-0.3 detections as ground truth,
+    over ~96 derived real images, predictions at conf 0.01 so AP
+    integrates the ranking instead of flickering at the 0.3 boundary.
+    This is the deploy-accuracy statement the reference's ncnn-int8
+    workflow leaves to its user (README.md:157-190 exports the net;
+    post-quantization accuracy is never pinned there).  The derived val
+    set's synthetic labels score ≈0 AP for ANY detector, so fidelity to
+    the f32 detections is the meaningful metric; measured 0.992 with
+    percentile calibration (0.74 with max — the gate at ≥0.95 is a
+    regression bound that max-calibration fails)."""
+    import jax
+
+    from fastdet.eval.metrics import ap_per_class, batch_statistics
+    from fastdet.ops.postprocess import build_detect_fn
+    from tests.test_eval_e2e_parity import _derived_image_set
+
+    imgs, _ = _derived_image_set(coco_cfg, n_target=96)
+    calib = imgs[::12]                         # 8 calibration images
+    fwd_q, scales = build_int8_forward(ref_variables, calib)
+    qw = quantize_weights(fold_model(ref_variables))
+    qw = jax.tree.map(jnp.asarray, qw)
+
+    model = Detector(classes=80, anchor_num=3)
+    detect_f = build_detect_fn(model, coco_cfg, conf_thres=0.3,
+                               iou_thres=0.4)
+    anchors = jnp.asarray(
+        np.asarray(coco_cfg.anchors, np.float32).reshape(2, 3, 2))
+
+    @jax.jit
+    def detect_q(images, anchors, weights):
+        outs = list(fwd_q(images, weights))
+        return postprocess(outs, anchors, (352, 352), conf_thres=0.01,
+                           iou_thres=0.4, max_nms=1024)
+
+    stats, gt_cls = [], []
+    batch = 8
+    for i in range(0, len(imgs), batch):
+        chunk = jnp.asarray(imgs[i:i + batch])
+        df, nf = (np.asarray(x) for x in detect_f(ref_variables, chunk))
+        dq, nq = (np.asarray(x) for x in detect_q(chunk, anchors, qw))
+        det_list, gt_boxes, gt_labels = [], [], []
+        for j in range(len(chunk)):
+            det_list.append(dq[j, :nq[j]])
+            gt_boxes.append(df[j, :nf[j], :4])
+            gt_labels.append(df[j, :nf[j], 5])
+            gt_cls.extend(df[j, :nf[j], 5].tolist())
+        stats += batch_statistics(det_list, gt_boxes, gt_labels, 0.5)
+    assert len(gt_cls) > 100, "too few f32 detections for the gate"
+    p, r, ap, f1 = ap_per_class(
+        np.concatenate([s[0] for s in stats]),
+        np.concatenate([s[1] for s in stats]),
+        np.concatenate([s[2] for s in stats]), np.asarray(gt_cls))
+    assert ap >= 0.95, f"int8 mAP vs f32 pseudo-GT degraded: {ap:.4f}"
+
+
+@requires_reference
+@pytest.mark.slow
+def test_int8_eval_cli_smoke(tmp_path):
+    """cli/evaluation.py --int8 runs the full two-pass val protocol from
+    a quantize.py artifact and prints the reference-format metrics line."""
+    import re
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+
+    def run(rel, *args):
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, rel), *args],
+            capture_output=True, text=True, timeout=1200, env=env,
+            cwd=repo)
+        assert r.returncode == 0, (r.stdout + r.stderr)[-4000:]
+        return r.stdout
+
+    out = str(tmp_path / "dv")
+    run("tools/make_derived_val.py", "--out", out, "--count", "16")
+    data = os.path.join(out, "derived.data")
+    art = str(tmp_path / "coco-int8.npz")
+    run("cli/quantize.py", "--data", data,
+        "--weights", os.path.join(repo, "weights", "coco2017-ref.npz"),
+        "--calib", os.path.join(out, "val.txt"), "--n", "8",
+        "--output", art)
+    stdout = run("cli/evaluation.py", "--data", data, "--int8", art)
+    assert re.search(
+        r"Precision:[\d.]+ Recall:[\d.]+ AP:[\d.]+ F1:[\d.]+", stdout), \
+        stdout[-3000:]
 
 
 @requires_reference
