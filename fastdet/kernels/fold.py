@@ -165,15 +165,9 @@ def pack_head_conv(params: dict) -> Dict[str, np.ndarray]:
             "b": np.asarray(params["bias"], np.float32)}
 
 
-def pack_fused_weights(variables: dict, dtype=np.float32) -> Dict[str, Any]:
-    """Pack everything the fused inference path needs from a variables
-    pytree.  Returns a flat dict of numpy arrays (a valid jit argument
-    pytree — weights are ALWAYS runtime args, never baked constants)."""
-    params = variables["params"]
-    stats = variables["batch_stats"]
-    bb_p, bb_s = params["backbone"], stats["backbone"]
-    packed: Dict[str, Any] = {}
-
+def _pack_backbone(packed: Dict[str, Any], bb_p: dict, bb_s: dict) -> None:
+    """Shared ShuffleNetV2 packing (stem + stride-2 blocks + spans) —
+    used by both model families (they share the backbone)."""
     # stem (3×3 s2 conv stays HWIO for lax.conv) + stride-2 blocks
     w, b = _fold(bb_p["first_conv"], bb_s["first_conv"])
     packed["stem_w"] = w
@@ -201,6 +195,16 @@ def pack_fused_weights(variables: dict, dtype=np.float32) -> Dict[str, Any]:
             for k, v in blk.items():
                 packed[f"s{stage}_{i}_{k}"] = v
 
+
+def pack_fused_weights(variables: dict, dtype=np.float32) -> Dict[str, Any]:
+    """Pack everything the fused inference path needs from a variables
+    pytree.  Returns a flat dict of numpy arrays (a valid jit argument
+    pytree — weights are ALWAYS runtime args, never baked constants)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    packed: Dict[str, Any] = {}
+    _pack_backbone(packed, params["backbone"], stats["backbone"])
+
     fpn_p, fpn_s = params["fpn"], stats["fpn"]
     for name in ("conv1x1_2", "conv1x1_3"):
         pw = pack_convbn_pw(fpn_p[name], fpn_s[name])
@@ -212,6 +216,33 @@ def pack_fused_weights(variables: dict, dtype=np.float32) -> Dict[str, Any]:
             packed[f"{head}_{k}"] = v
 
     for out in ("output_reg", "output_obj", "output_cls"):
+        hc = pack_head_conv(params[out])
+        packed[f"{out}_w"] = hc["w"]
+        packed[f"{out}_b"] = hc["b"]
+
+    if dtype is not np.float32:
+        packed = {k: v.astype(dtype) for k, v in packed.items()}
+    return packed
+
+
+def pack_fused_weights_af(variables: dict, dtype=np.float32
+                          ) -> Dict[str, Any]:
+    """Anchor-free family (models/anchorfree.py): same backbone packing,
+    then the single-scale fuse ConvBN + decoupled DWConvBlock heads +
+    three bias'd 1×1 output convs."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    packed: Dict[str, Any] = {}
+    _pack_backbone(packed, params["backbone"], stats["backbone"])
+
+    pw = pack_convbn_pw(params["fuse"], stats["fuse"])
+    packed["fuse_w"] = pw["w"]
+    packed["fuse_b"] = pw["b"]
+    for head in ("head_cls", "head_reg"):
+        blk = pack_dwconvblock(params[head], stats[head])
+        for k, v in blk.items():
+            packed[f"{head}_{k}"] = v
+    for out in ("out_obj", "out_cls", "out_reg"):
         hc = pack_head_conv(params[out])
         packed[f"{out}_w"] = hc["w"]
         packed[f"{out}_b"] = hc["b"]

@@ -51,7 +51,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fastdet.kernels.fold import pack_fused_weights
+from fastdet.kernels.fold import (pack_fused_weights,
+                                  pack_fused_weights_af)
 
 # (stage id, repeats, channels); spatial H=W = input/8, /16, /32
 _STAGES = ((2, 4, 48), (3, 8, 96), (4, 4, 192))
@@ -538,6 +539,21 @@ def _fpn_xla(c2, c3, p, dtype):
     return reg2, obj2, cls2, reg3, obj3, cls3
 
 
+def _af_neck_xla(c2, c3, p, dtype):
+    """Anchor-free single-scale neck + decoupled heads in XLA with
+    folded weights (models/anchorfree.py:52-66); returns the raw-logit
+    (obj, cls, reg) 3-tuple in fp32 at stride 16."""
+    up = jnp.repeat(jnp.repeat(c3, 2, axis=1), 2, axis=2)
+    pcat = jnp.concatenate([c2, up], -1)
+    s = jnp.maximum(pcat @ p["fuse_w"] + p["fuse_b"], 0.0).astype(dtype)
+    cls_f = _dwcb_xla(s, p, "head_cls", dtype)
+    reg_f = _dwcb_xla(s, p, "head_reg", dtype)
+    obj = (cls_f @ p["out_obj_w"] + p["out_obj_b"]).astype(jnp.float32)
+    cls = (cls_f @ p["out_cls_w"] + p["out_cls_b"]).astype(jnp.float32)
+    reg = (reg_f @ p["out_reg_w"] + p["out_reg_b"]).astype(jnp.float32)
+    return obj, cls, reg
+
+
 # ------------------------------------------------------------- builder
 
 def build_fused_forward(variables: dict,
@@ -545,7 +561,8 @@ def build_fused_forward(variables: dict,
                         anchor_num: int = 3, classes: int = 80,
                         dtype=jnp.bfloat16, interpret: bool = False,
                         input_format: str = "nhwc",
-                        upto: str = None, fuse_s2: bool = False):
+                        upto: str = None, fuse_s2: bool = False,
+                        head: str = "yolo"):
     """Returns (forward_fn, packed_weights).
 
     forward_fn(images, packed) → raw-logit 6-tuple identical to
@@ -554,6 +571,11 @@ def build_fused_forward(variables: dict,
     fastdet/ops/postprocess.py for the compiler pathology).
     `anchor_num`/`classes` are implied by the checkpoint; the arguments
     exist for non-COCO head shapes (cites reference detector.py:17-19).
+
+    head: "yolo" (LightFPN + shared anchor heads → 6-tuple) or
+    "anchorfree" (single-scale fuse + decoupled heads → (obj, cls, reg)
+    3-tuple, models/anchorfree.py) — both families share the ShuffleNetV2
+    backbone, so the Pallas stem/span kernels serve both.
 
     input_format:
       * "nhwc"   — (B, H, W, 3) uint8; stem runs in XLA.
@@ -583,12 +605,16 @@ def build_fused_forward(variables: dict,
     program (which would also need the stem emitted phase-packed)."""
     if input_format not in ("nhwc", "s2d_u8"):
         raise ValueError(f"unknown input_format {input_format!r}")
+    if head not in ("yolo", "anchorfree"):
+        raise ValueError(f"unknown head {head!r}")
     # whole-image stem programs hold ~1.2 kB VMEM per lane; larger
     # inputs (640² → 25600 lanes) go through the row-chunked stem
     stem_chunked = input_format == "s2d_u8" and \
         ((input_hw[0] // 4) * (input_hw[1] // 4) + 127) // 128 * 128 \
         > _STEM_LANE_BUDGET
-    pk = pack_fused_weights(variables)
+    neck = _fpn_xla if head == "yolo" else _af_neck_xla
+    pk = (pack_fused_weights(variables) if head == "yolo"
+          else pack_fused_weights_af(variables))
     sw96, sb96 = pack_stem_s2d(np.asarray(pk["stem_w"], np.float32),
                                np.asarray(pk["stem_b"], np.float32))
     pk["stem_w96"] = sw96
@@ -655,7 +681,7 @@ def build_fused_forward(variables: dict,
             cin = c
             if upto == f"s{sid}":
                 return x
-        return _fpn_xla(feats[3], feats[4], p, dtype)
+        return neck(feats[3], feats[4], p, dtype)
 
     def forward_fused_s2(images, p):
         """One Pallas program per stage; activations stay transposed
@@ -694,6 +720,6 @@ def build_fused_forward(variables: dict,
                 if upto == f"s{sid}":
                     return nhwc
                 feats[sid] = nhwc
-        return _fpn_xla(feats[3], feats[4], p, dtype)
+        return neck(feats[3], feats[4], p, dtype)
 
     return (forward_fused_s2 if fuse_s2 else forward_xla_s2), packed

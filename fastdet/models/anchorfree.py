@@ -108,6 +108,35 @@ def build_anchorfree_detect_fn(model: AnchorFreeDetector, input_hw,
     return detect
 
 
+def build_anchorfree_fused_detect(variables, input_hw=(352, 352),
+                                  conf_thres=0.3, iou_thres=0.45,
+                                  max_det=300, max_nms=256,
+                                  dtype=jnp.bfloat16, interpret=False):
+    """Pallas fused serving path for the anchor-free family:
+    → (detect(packed, images_s2d_u8) → (dets, counts), packed_weights).
+
+    Shares the fused ShuffleNetV2 stem/span kernels with the
+    anchor-based family (fastdet/kernels/fused_infer.py,
+    head="anchorfree"); input is the s2d(4) uint8 host layout
+    (`pack_images_s2d`).  `packed` must stay a runtime argument of any
+    enclosing jit (never a baked constant)."""
+    from fastdet.kernels.fused_infer import build_fused_forward
+    from fastdet.ops.nms import batched_nms
+
+    fwd, packed = build_fused_forward(
+        variables, input_hw=input_hw, dtype=dtype, interpret=interpret,
+        input_format="s2d_u8", head="anchorfree")
+
+    def detect(packed, images):
+        obj, cls, reg = fwd(images, packed)
+        boxes, obj_p, cls_p = decode_anchorfree(obj, cls, reg, input_hw)
+        return batched_nms(boxes, obj_p, cls_p, conf_thres=conf_thres,
+                           iou_thres=iou_thres, max_det=max_det,
+                           max_nms=max_nms)
+
+    return detect, packed
+
+
 def anchorfree_loss(outputs, labels, label_mask, input_hw):
     """Dense anchor-free loss: center+neighbor cell assignment, CIoU box,
     BCE obj over the grid, softmax-CE cls at assigned cells.

@@ -99,11 +99,16 @@ class FusedPipeline:
     Pass `mesh` (a `jax.sharding.Mesh`) for data-parallel SPMD serving:
     batches shard on axis 0 over every mesh axis, packed weights and
     anchors replicate, and ragged batches are padded to the mesh size
-    and trimmed (same contract as ShardedPipeline)."""
+    and trimmed (same contract as ShardedPipeline).
+
+    `family` selects the model head: "yolo-fastestv2" (anchor decode +
+    NMS) or "anchorfree" (sigma-squared decode + NMS) — both run the
+    same Pallas backbone kernels (fused_infer.py head= parameter)."""
 
     def __init__(self, variables, cfg: Config, conf_thres=0.3,
                  iou_thres=0.45, max_det=300, max_nms=256,
-                 dtype=None, interpret: bool = False, mesh=None):
+                 dtype=None, interpret: bool = False, mesh=None,
+                 family: str = "yolo-fastestv2"):
         import jax
         import jax.numpy as jnp
         from fastdet.kernels.fused_infer import (build_fused_forward,
@@ -111,6 +116,7 @@ class FusedPipeline:
         from fastdet.ops.postprocess import postprocess
         if dtype is None:
             dtype = jnp.bfloat16
+        anchorfree = family in ("anchorfree", "fastestdet")
         self._cfg = cfg
         self._hw = (cfg.height, cfg.width)
         self._npad = ((cfg.height // 4) * (cfg.width // 4) + 127) \
@@ -118,11 +124,13 @@ class FusedPipeline:
         self._pack_py = pack_images_s2d
         self._anchors = jnp.asarray(
             np.asarray(cfg.anchors, np.float32).reshape(
-                cfg.num_scales, cfg.anchor_num, 2))
+                cfg.num_scales, cfg.anchor_num, 2)) \
+            if not anchorfree else jnp.zeros((0,), jnp.float32)
         fwd, self._packed = build_fused_forward(
             variables, input_hw=self._hw, anchor_num=cfg.anchor_num,
             classes=cfg.classes, dtype=dtype, interpret=interpret,
-            input_format="s2d_u8")
+            input_format="s2d_u8",
+            head="anchorfree" if anchorfree else "yolo")
 
         self._mesh = mesh
         self._n_dev = 1
@@ -137,12 +145,26 @@ class FusedPipeline:
 
         hw = self._hw
 
-        @jax.jit
-        def detect(packed, images, anchors):
-            outs = list(fwd(images, packed))
-            return postprocess(outs, anchors, hw, conf_thres=conf_thres,
-                               iou_thres=iou_thres, max_det=max_det,
-                               max_nms=max_nms)
+        if anchorfree:
+            from fastdet.models.anchorfree import decode_anchorfree
+            from fastdet.ops.nms import batched_nms
+
+            @jax.jit
+            def detect(packed, images, _anchors):
+                obj, cls, reg = fwd(images, packed)
+                boxes, obj_p, cls_p = decode_anchorfree(obj, cls, reg, hw)
+                return batched_nms(boxes, obj_p, cls_p,
+                                   conf_thres=conf_thres,
+                                   iou_thres=iou_thres, max_det=max_det,
+                                   max_nms=max_nms)
+        else:
+            @jax.jit
+            def detect(packed, images, anchors):
+                outs = list(fwd(images, packed))
+                return postprocess(outs, anchors, hw,
+                                   conf_thres=conf_thres,
+                                   iou_thres=iou_thres, max_det=max_det,
+                                   max_nms=max_nms)
 
         self._detect = detect
 

@@ -93,6 +93,94 @@ def test_fused_detect(af_model):
     assert counts.shape == (2,)
 
 
+def test_fused_af_forward_matches_linen():
+    """The Pallas fused path (head="anchorfree") matches the linen
+    AnchorFreeDetector on both input formats (f32 interpret mode)."""
+    from fastdet.kernels.fused_infer import (build_fused_forward,
+                                             pack_images_s2d)
+    model = AnchorFreeDetector(classes=80)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 352, 352, 3)), train=False)
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randint(0, 255, (2, 352, 352, 3), np.uint8))
+    ref = model.apply(variables, img.astype(jnp.float32) / 255.0,
+                      train=False)
+
+    fwd, packed = build_fused_forward(variables, dtype=jnp.float32,
+                                      interpret=True, head="anchorfree")
+    outs = fwd(img, packed)
+    for i, (a, b) in enumerate(zip(ref, outs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, err_msg=f"output {i}")
+
+    fwd2, packed2 = build_fused_forward(variables, dtype=jnp.float32,
+                                        interpret=True, head="anchorfree",
+                                        input_format="s2d_u8")
+    outs2 = fwd2(jnp.asarray(pack_images_s2d(np.asarray(img))), packed2)
+    for i, (a, b) in enumerate(zip(ref, outs2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, err_msg=f"s2d output {i}")
+
+
+def test_fused_af_detect_matches_xla():
+    """build_anchorfree_fused_detect == build_anchorfree_detect_fn
+    detections on the same images (f32 interpret mode)."""
+    from fastdet.kernels.fused_infer import pack_images_s2d
+    from fastdet.models.anchorfree import build_anchorfree_fused_detect
+    model = AnchorFreeDetector(classes=80)
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, 352, 352, 3)), train=False)
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 255, (2, 352, 352, 3), np.uint8)
+
+    detect_x = build_anchorfree_detect_fn(model, (352, 352),
+                                          conf_thres=0.05)
+    dx, nx = detect_x(variables, jnp.asarray(img))
+    detect_f, packed = build_anchorfree_fused_detect(
+        variables, (352, 352), conf_thres=0.05, dtype=jnp.float32,
+        interpret=True)
+    df, nf = detect_f(packed, jnp.asarray(pack_images_s2d(img)))
+
+    nx, nf = np.asarray(nx), np.asarray(nf)
+    np.testing.assert_array_equal(nx, nf)
+    for j in range(len(img)):
+        a, b = np.asarray(dx[j][:nx[j]]), np.asarray(df[j][:nf[j]])
+        np.testing.assert_array_equal(a[:, 5], b[:, 5])
+        np.testing.assert_allclose(a[:, :5], b[:, :5], atol=1e-3)
+
+
+def test_fused_pipeline_anchorfree_matches_xla():
+    """FusedPipeline(family="anchorfree") == the XLA detect path on NHWC
+    uint8 input (the serving front door cli/test.py --fused uses)."""
+    from fastdet.config import Config
+    from fastdet.serve import FusedPipeline
+    model = AnchorFreeDetector(classes=80)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 352, 352, 3)), train=False)
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 255, (2, 352, 352, 3), np.uint8)
+
+    cfg = Config.from_dict({
+        "classes": 80, "width": 352, "height": 352, "anchor_num": 3,
+        "anchors": [10.0, 10.0, 20.0, 20.0, 40.0, 40.0,
+                    80.0, 80.0, 120.0, 120.0, 160.0, 160.0]})
+    pipe = FusedPipeline(variables, cfg, conf_thres=0.05, iou_thres=0.45,
+                         dtype=jnp.float32, interpret=True,
+                         family="anchorfree")
+    got = pipe(img)
+
+    detect_x = build_anchorfree_detect_fn(model, (352, 352),
+                                          conf_thres=0.05)
+    dx, nx = detect_x(variables, jnp.asarray(img))
+    nx = np.asarray(nx)
+    for j in range(len(img)):
+        a = np.asarray(dx[j][:nx[j]])
+        b = np.asarray(got[j])
+        assert len(a) == len(b)
+        np.testing.assert_array_equal(a[:, 5], b[:, 5])
+        np.testing.assert_allclose(a[:, :5], b[:, :5], atol=1e-3)
+
+
 def test_training_reduces_loss():
     """A few SGD steps on a fixed batch reduce the anchor-free loss."""
     import optax
