@@ -245,34 +245,82 @@ def main():
         del imgs6
 
     # second model family: anchor-free (FastestDet-style) detect
-    # throughput, device-resident chained batches on the XLA path (its
-    # single-scale head has no Pallas specialization yet)
+    # throughput, device-resident chained batches.  Default path is the
+    # Pallas fused backbone (head="anchorfree", s2d input) shared with
+    # the flagship; FASTDET_BENCH_AF_PATH=xla measures the plain-XLA
+    # path instead (b128 measured 29.6 vs b256 34.6 µs/img there — the
+    # same batch optimum as the fused path).
     af_img_s = None
     if os.environ.get("FASTDET_BENCH_ANCHORFREE", "1") == "1":
-        from fastdet.models.anchorfree import (AnchorFreeDetector,
-                                               build_anchorfree_detect_fn)
+        from fastdet.models.anchorfree import (
+            AnchorFreeDetector, build_anchorfree_detect_fn,
+            build_anchorfree_fused_detect)
         af = AnchorFreeDetector(classes=cfg.classes, dtype=jnp.bfloat16)
         af_vars = af.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, cfg.height, cfg.width, 3)),
                           train=False)
-        af_detect = build_anchorfree_detect_fn(af, hw, conf_thres=0.3,
-                                               iou_thres=0.4)
-
-        @jax.jit
-        def af_chain(v, images_k):
-            def body(_, im):
-                return None, af_detect(v, im)
-            return jax.lax.scan(body, None, images_k)[1]
-
-        # b128 measured 29.6 vs b256 34.6 µs/img (same batch optimum as
-        # the fused path)
         ab, ak = 128, 64
-        af_imgs = dev_randu8((ak, ab, cfg.height, cfg.width, 3), seed=3)
-        af_imgs.block_until_ready()
-        adt = timed_min(lambda: af_chain(af_vars, af_imgs),
-                        lambda out: jax.device_get(out[1][-1, :1]), 3)
+        if os.environ.get("FASTDET_BENCH_AF_PATH", "fused") == "fused":
+            af_detect_f, af_packed = build_anchorfree_fused_detect(
+                af_vars, hw, conf_thres=0.3, iou_thres=0.4)
+
+            @jax.jit
+            def af_chain_f(packed, images_k):
+                def body(_, im):
+                    return None, af_detect_f(packed, im)
+                return jax.lax.scan(body, None, images_k)[1]
+
+            af_imgs = dev_randu8((ak, ab, 48, npad), seed=3)
+            af_imgs.block_until_ready()
+            adt = timed_min(lambda: af_chain_f(af_packed, af_imgs),
+                            lambda out: jax.device_get(out[1][-1, :1]), 3)
+        else:
+            af_detect = build_anchorfree_detect_fn(af, hw, conf_thres=0.3,
+                                                   iou_thres=0.4)
+
+            @jax.jit
+            def af_chain(v, images_k):
+                def body(_, im):
+                    return None, af_detect(v, im)
+                return jax.lax.scan(body, None, images_k)[1]
+
+            af_imgs = dev_randu8((ak, ab, cfg.height, cfg.width, 3),
+                                 seed=3)
+            af_imgs.block_until_ready()
+            adt = timed_min(lambda: af_chain(af_vars, af_imgs),
+                            lambda out: jax.device_get(out[1][-1, :1]), 3)
         af_img_s = round(ak * ab / adt, 1)
         del af_imgs
+
+    # int8 PTQ path throughput from a cli/quantize.py artifact (the
+    # quantized deploy mode; see docs/QUANT.md).  Skipped if no artifact.
+    int8_img_s = None
+    int8_art = os.environ.get("FASTDET_BENCH_INT8_ART",
+                              os.path.join(repo, "weights",
+                                           "coco-int8.npz"))
+    if os.environ.get("FASTDET_BENCH_INT8", "1") == "1" \
+            and os.path.exists(int8_art):
+        from fastdet.quant import forward_from, load_quantized
+        qw_, qsc = load_quantized(int8_art)
+        fwd_q = forward_from(qw_, qsc)
+        qw_ = jax.tree.map(jnp.asarray, qw_)
+
+        @jax.jit
+        def int8_chain(weights, images_k, anchors_arg):
+            def body(_, im):
+                outs = list(fwd_q(im, weights))
+                return None, postprocess(outs, anchors_arg, hw,
+                                         conf_thres=0.3, iou_thres=0.4,
+                                         max_nms=256)
+            return jax.lax.scan(body, None, images_k)[1]
+
+        qb, qk = 128, 32
+        q_imgs = dev_randu8((qk, qb, cfg.height, cfg.width, 3), seed=5)
+        q_imgs.block_until_ready()
+        qdt = timed_min(lambda: int8_chain(qw_, q_imgs, anchors),
+                        lambda out: jax.device_get(out[1][-1, :1]), 3)
+        int8_img_s = round(qk * qb / qdt, 1)
+        del q_imgs
 
     # end-to-end serving rate: image FILES → native host decode + resize
     # + s2d pack → device fused detect → boxes on host.  The producer
@@ -375,6 +423,9 @@ def main():
         "latency_ms_b1_chip": round(b1_chip_ms, 3),
         "img_s_640_chip": img_s_640,
         "anchorfree_img_s": af_img_s,
+        "anchorfree_path": os.environ.get("FASTDET_BENCH_AF_PATH",
+                                          "fused"),
+        "int8_img_s": int8_img_s,
         "e2e_img_s": e2e_img_s,
         "host_pre_us_img": (round(host_pre_us, 1)
                             if host_pre_us is not None else None),
