@@ -53,6 +53,43 @@ def load_exported(path: str):
     return exported.call
 
 
+def export_quantized(qw, scales, out_path: str,
+                     input_hw: Tuple[int, int] = (352, 352),
+                     batch: Optional[int] = 1) -> bytes:
+    """Serialize the int8 PTQ deploy forward (fastdet/quant/ptq.py) as a
+    StableHLO program — the quantized counterpart of `export_detector`
+    (the role of ncnn's int8 model artifact downstream of its
+    calibration-table step).  Same contract: (batch,H,W,3) uint8 NHWC →
+    two per-scale (batch,h,w,4A+A+classes) maps with sigmoid/softmax
+    baked in; the int8 kernels + scales are embedded as constants."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from fastdet.quant import forward_from
+
+    h, w = input_hw
+    fwd = forward_from(qw, scales)
+
+    def deploy_fn(images):
+        reg2, obj2, cls2, reg3, obj3, cls3 = fwd(images)
+
+        def m(reg, obj, cls):
+            return jnp.concatenate(
+                [jax.nn.sigmoid(reg), jax.nn.sigmoid(obj),
+                 jax.nn.softmax(cls, axis=-1)], axis=-1)
+
+        return m(reg2, obj2, cls2), m(reg3, obj3, cls3)
+
+    spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
+    exported = jexport.export(jax.jit(deploy_fn))(spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return blob
+
+
 def export_stablehlo_text(model, variables: dict,
                           input_hw: Tuple[int, int] = (352, 352),
                           batch: int = 1) -> str:

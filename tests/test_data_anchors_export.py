@@ -177,6 +177,47 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(e3), np.asarray(d3), atol=1e-6)
 
 
+def test_export_quantized_roundtrip(tmp_path):
+    """Int8 StableHLO export → deserialize → same maps as the direct
+    int8 deploy forward (sigmoid/softmax concat baked in)."""
+    import jax
+    import jax.numpy as jnp
+    from fastdet.export.stablehlo import export_quantized, load_exported
+    from fastdet.models import Detector
+    from fastdet.quant import calibrate, fold_model, quantize_weights
+    from fastdet.quant.ptq import QuantOps, forward_folded
+
+    model = Detector(classes=5, anchor_num=3)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    rng = np.random.RandomState(2)
+    calib = rng.randint(0, 255, (4, 64, 64, 3), np.uint8)
+    folded = fold_model(variables)
+    scales = calibrate(folded, calib, batch=4)
+    qw = quantize_weights(folded)
+
+    out = str(tmp_path / "model-int8.stablehlo")
+    export_quantized(qw, scales, out, input_hw=(64, 64), batch=2)
+    assert os.path.getsize(out) > 1000
+
+    call = load_exported(out)
+    img = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3), np.uint8))
+    e2, e3 = call(img)
+
+    reg2, obj2, cls2, reg3, obj3, cls3 = forward_folded(
+        img, QuantOps(jax.tree.map(jnp.asarray, qw), scales))
+
+    def m(reg, obj, cls):
+        return jnp.concatenate(
+            [jax.nn.sigmoid(reg), jax.nn.sigmoid(obj),
+             jax.nn.softmax(cls, axis=-1)], axis=-1)
+
+    np.testing.assert_allclose(np.asarray(e2),
+                               np.asarray(m(reg2, obj2, cls2)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e3),
+                               np.asarray(m(reg3, obj3, cls3)), atol=1e-6)
+
+
 def test_merge_variables_partial_finetune():
     """strict=False finetune semantics: backbone+FPN load from an
     80-class checkpoint under a 5-class head."""
