@@ -76,28 +76,45 @@ def main():
     if opt.int8:
         # quantized-accuracy run: the whole val protocol (two passes,
         # same NMS windows and metrics) on the int8 PTQ graph — the role
-        # of evaluating the reference's ncnn-int8 deployment artifact
-        assert opt.model == "yolo-fastestv2", \
-            "--int8 is only available for the yolo-fastestv2 family"
+        # of evaluating the reference's ncnn-int8 deployment artifact.
+        # The artifact self-describes its family (op names).
         import numpy as np
         from fastdet.ops.postprocess import postprocess
         from fastdet.quant import forward_from, load_quantized
+        from fastdet.quant.ptq import infer_family
         qw, qscales = load_quantized(opt.int8)
         fwd_q = forward_from(qw, qscales)
         qw = jax.tree.map(jnp.asarray, qw)
         anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(
             cfg.num_scales, cfg.anchor_num, 2))
+        af = infer_family(qw) == "anchorfree"
 
         def make_detect(conf_thres, iou_thres, max_nms=1024):
             # anchors + quantized weights as runtime args, never baked
             # jit constants (compile blowup on the axon backend — see
             # fastdet/quant/ptq.py::forward_from)
-            @jax.jit
-            def _d(xs, anchors, weights):
-                outs = list(fwd_q(xs, weights))
-                return postprocess(outs, anchors, (cfg.height, cfg.width),
-                                   conf_thres=conf_thres,
-                                   iou_thres=iou_thres, max_nms=max_nms)
+            if af:
+                from fastdet.models.anchorfree import decode_anchorfree
+                from fastdet.ops.nms import batched_nms
+
+                @jax.jit
+                def _d(xs, anchors, weights):
+                    obj, cls, reg = fwd_q(xs, weights)
+                    boxes, obj_p, cls_p = decode_anchorfree(
+                        obj, cls, reg, (cfg.height, cfg.width))
+                    return batched_nms(boxes, obj_p, cls_p,
+                                       conf_thres=conf_thres,
+                                       iou_thres=iou_thres,
+                                       max_nms=max_nms)
+            else:
+                @jax.jit
+                def _d(xs, anchors, weights):
+                    outs = list(fwd_q(xs, weights))
+                    return postprocess(outs, anchors,
+                                       (cfg.height, cfg.width),
+                                       conf_thres=conf_thres,
+                                       iou_thres=iou_thres,
+                                       max_nms=max_nms)
 
             def detect(_variables, images):
                 return _d(images, anchors, qw)

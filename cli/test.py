@@ -62,10 +62,9 @@ def main():
                          interpolation=cv2.INTER_LINEAR)
 
     if opt.int8:
-        assert opt.model == "yolo-fastestv2", \
-            "--int8 is only available for the yolo-fastestv2 family"
         from fastdet.ops.postprocess import postprocess
         from fastdet.quant import forward_from, load_quantized
+        from fastdet.quant.ptq import infer_family
         qw, scales = load_quantized(opt.int8)
         fwd = forward_from(qw, scales)
         qw = jax.tree.map(jnp.asarray, qw)
@@ -75,11 +74,24 @@ def main():
         # anchors AND the quantized weights as runtime args, never baked
         # jit constants (compile blowup on the axon backend — see
         # .claude/skills/verify and fastdet/quant/ptq.py::forward_from)
-        @jax.jit
-        def detect_q(im, anc, weights):
-            return postprocess(fwd(im, weights), anc,
-                               (cfg.height, cfg.width),
-                               conf_thres=opt.conf, iou_thres=opt.nms)
+        if infer_family(qw) == "anchorfree":
+            from fastdet.models.anchorfree import decode_anchorfree
+            from fastdet.ops.nms import batched_nms
+
+            @jax.jit
+            def detect_q(im, anc, weights):
+                obj, cls, reg = fwd(im, weights)
+                boxes, obj_p, cls_p = decode_anchorfree(
+                    obj, cls, reg, (cfg.height, cfg.width))
+                return batched_nms(boxes, obj_p, cls_p,
+                                   conf_thres=opt.conf,
+                                   iou_thres=opt.nms)
+        else:
+            @jax.jit
+            def detect_q(im, anc, weights):
+                return postprocess(fwd(im, weights), anc,
+                                   (cfg.height, cfg.width),
+                                   conf_thres=opt.conf, iou_thres=opt.nms)
 
         batch = jnp.asarray(res_img[None])
         jax.block_until_ready(detect_q(batch, anchors, qw))    # compile

@@ -60,25 +60,32 @@ def export_quantized(qw, scales, out_path: str,
     StableHLO program — the quantized counterpart of `export_detector`
     (the role of ncnn's int8 model artifact downstream of its
     calibration-table step).  Same contract: (batch,H,W,3) uint8 NHWC →
-    two per-scale (batch,h,w,4A+A+classes) maps with sigmoid/softmax
-    baked in; the int8 kernels + scales are embedded as constants."""
+    per-scale (batch,h,w,·) maps with sigmoid/softmax baked in (two maps
+    for the anchor-based family, one stride-16 map ordered like
+    AnchorFreeDetector's deploy mode for the anchor-free family — the
+    artifact self-describes via its op names); the int8 kernels + scales
+    are embedded as constants."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
     from fastdet.quant import forward_from
+    from fastdet.quant.ptq import infer_family
 
     h, w = input_hw
     fwd = forward_from(qw, scales)
+    anchorfree = infer_family(qw) == "anchorfree"
+
+    def m(reg, obj, cls):
+        return jnp.concatenate(
+            [jax.nn.sigmoid(reg), jax.nn.sigmoid(obj),
+             jax.nn.softmax(cls, axis=-1)], axis=-1)
 
     def deploy_fn(images):
+        if anchorfree:
+            obj, cls, reg = fwd(images)
+            return m(reg, obj, cls)
         reg2, obj2, cls2, reg3, obj3, cls3 = fwd(images)
-
-        def m(reg, obj, cls):
-            return jnp.concatenate(
-                [jax.nn.sigmoid(reg), jax.nn.sigmoid(obj),
-                 jax.nn.softmax(cls, axis=-1)], axis=-1)
-
         return m(reg2, obj2, cls2), m(reg3, obj3, cls3)
 
     spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)

@@ -10,10 +10,11 @@ path.
 """
 
 from fastdet.quant.ptq import (build_int8_forward, calibrate, fold_model,
-                               forward_folded, forward_from,
-                               load_quantized, quantize_weights,
-                               save_quantized)
+                               forward_folded, forward_folded_af,
+                               forward_from, infer_family, load_quantized,
+                               quantize_weights, save_quantized)
 
 __all__ = ["build_int8_forward", "calibrate", "fold_model",
-           "forward_folded", "forward_from", "load_quantized",
-           "quantize_weights", "save_quantized"]
+           "forward_folded", "forward_folded_af", "forward_from",
+           "infer_family", "load_quantized", "quantize_weights",
+           "save_quantized"]

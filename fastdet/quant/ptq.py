@@ -47,7 +47,12 @@ _STAGE_REPEATS = ((2, 4), (3, 8), (4, 4))
 
 def fold_model(variables: dict) -> Dict[str, Dict[str, np.ndarray]]:
     """All Conv+BN pairs folded to {name: {"w", "b"}} (HWIO kernels,
-    per-out-channel bias) + the three bias'd 1×1 head convs."""
+    per-out-channel bias) + the bias'd 1×1 head convs.
+
+    Handles both families by param-tree shape: the anchor-based Detector
+    (backbone + fpn + output_* heads) and the anchor-free family
+    (backbone + fuse + head_cls/head_reg + out_* heads); the family is
+    recoverable from the folded names (`infer_family`)."""
     p = variables["params"]
     s = variables["batch_stats"]
     out: Dict[str, Dict[str, np.ndarray]] = {}
@@ -60,12 +65,27 @@ def fold_model(variables: dict) -> Dict[str, Dict[str, np.ndarray]]:
         for k in pp:
             walk(pp[k], ss.get(k, {}), f"{prefix}/{k}")
 
+    def head(name):
+        out[name] = {"w": np.asarray(p[name]["kernel"], np.float32),
+                     "b": np.asarray(p[name]["bias"], np.float32)}
+
     walk(p["backbone"], s["backbone"], "backbone")
-    walk(p["fpn"], s["fpn"], "fpn")
-    for h in ("output_reg", "output_obj", "output_cls"):
-        out[h] = {"w": np.asarray(p[h]["kernel"], np.float32),
-                  "b": np.asarray(p[h]["bias"], np.float32)}
+    if "fpn" in p:                                  # anchor-based family
+        walk(p["fpn"], s["fpn"], "fpn")
+        for h in ("output_reg", "output_obj", "output_cls"):
+            head(h)
+    else:                                           # anchor-free family
+        for mod in ("fuse", "head_cls", "head_reg"):
+            walk(p[mod], s[mod], mod)
+        for h in ("out_obj", "out_cls", "out_reg"):
+            head(h)
     return out
+
+
+def infer_family(folded_or_qw) -> str:
+    """Family from the folded/quantized op names (also how the .npz
+    artifact self-describes)."""
+    return "anchorfree" if "fuse" in folded_or_qw else "yolo-fastestv2"
 
 
 # ------------------------------------------------------------- op sets
@@ -221,10 +241,8 @@ def _upsample2x(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
-def forward_folded(images_u8, ops) -> Tuple[jnp.ndarray, ...]:
-    """Eval-mode forward on the folded graph (mirrors Detector exactly;
-    reference model/detector.py:32-47 call order).  `images_u8` NHWC
-    uint8; returns the raw-logit 6-tuple."""
+def _backbone_folded(images_u8, ops) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared ShuffleNetV2 folded forward → (C2 stride-16, C3 stride-32)."""
     x = images_u8.astype(jnp.float32) / 255.0
     y = ops.conv("backbone/first_conv", x, stride=2, relu=True)
     y = _maxpool(y)
@@ -247,14 +265,25 @@ def forward_folded(images_u8, ops) -> Tuple[jnp.ndarray, ...]:
                 m = ops.pw(f"{nm}/main_pw_linear", m, relu=True)
                 y = jnp.concatenate([x_proj, m], axis=-1)
         feats.append(y)
-    C2, C3 = feats[1], feats[2]
+    return feats[1], feats[2]
+
+
+def _dwblock_folded(ops, nm, s):
+    t = ops.dw(f"{nm}/dw1", s, stride=1, relu=True)
+    t = ops.pw(f"{nm}/pw1", t, relu=False)
+    t = ops.dw(f"{nm}/dw2", t, stride=1, relu=True)
+    t = ops.pw(f"{nm}/pw2", t, relu=False)
+    return t
+
+
+def forward_folded(images_u8, ops) -> Tuple[jnp.ndarray, ...]:
+    """Eval-mode forward on the folded graph (mirrors Detector exactly;
+    reference model/detector.py:32-47 call order).  `images_u8` NHWC
+    uint8; returns the raw-logit 6-tuple."""
+    C2, C3 = _backbone_folded(images_u8, ops)
 
     def dwblock(nm, s):
-        t = ops.dw(f"{nm}/dw1", s, stride=1, relu=True)
-        t = ops.pw(f"{nm}/pw1", t, relu=False)
-        t = ops.dw(f"{nm}/dw2", t, stride=1, relu=True)
-        t = ops.pw(f"{nm}/pw2", t, relu=False)
-        return t
+        return _dwblock_folded(ops, nm, s)
 
     S3 = ops.pw("fpn/conv1x1_3", C3, relu=True)
     cls3 = dwblock("fpn/cls_head_3", S3)
@@ -270,6 +299,26 @@ def forward_folded(images_u8, ops) -> Tuple[jnp.ndarray, ...]:
             ops.pw("output_reg", reg3, relu=False),
             ops.pw("output_obj", cls3, relu=False),
             ops.pw("output_cls", cls3, relu=False))
+
+
+def forward_folded_af(images_u8, ops) -> Tuple[jnp.ndarray, ...]:
+    """Anchor-free folded forward (mirrors AnchorFreeDetector,
+    models/anchorfree.py:45-72): single stride-16 scale → raw-logit
+    (obj, cls, reg) 3-tuple."""
+    C2, C3 = _backbone_folded(images_u8, ops)
+    P = jnp.concatenate([C2, _upsample2x(C3)], axis=-1)
+    S = ops.pw("fuse", P, relu=True)
+    feat_cls = _dwblock_folded(ops, "head_cls", S)
+    feat_reg = _dwblock_folded(ops, "head_reg", S)
+    return (ops.pw("out_obj", feat_cls, relu=False),
+            ops.pw("out_cls", feat_cls, relu=False),
+            ops.pw("out_reg", feat_reg, relu=False))
+
+
+def folded_forward_for(folded_or_qw):
+    """The family-correct folded forward fn for a folded/quantized dict."""
+    return (forward_folded_af if infer_family(folded_or_qw) == "anchorfree"
+            else forward_folded)
 
 
 # --------------------------------------------------------- calibration
@@ -296,11 +345,12 @@ def calibrate(folded, calib_images_u8, batch: int = 8,
     on the axon backend; same rule as fused_infer.py's packed args).
     """
     fw_dev = jax.tree.map(jnp.asarray, dict(folded))
+    fwd = folded_forward_for(folded)
 
     @jax.jit
     def max_pass(imgs, fw):
         ops = FloatOps(fw, record=True)
-        forward_folded(imgs, ops)
+        fwd(imgs, ops)
         return dict(ops.maxabs)
 
     maxes: Dict[str, float] = {}
@@ -322,7 +372,7 @@ def calibrate(folded, calib_images_u8, batch: int = 8,
     @jax.jit
     def hist_pass(imgs, fw):
         ops = _HistOps(fw, maxes, bins)
-        forward_folded(imgs, ops)
+        fwd(imgs, ops)
         return dict(ops.hists)
 
     hists = {k: np.zeros(bins, np.int64) for k in maxes}
@@ -386,9 +436,10 @@ def forward_from(qw, scales: Dict[str, float]) -> Callable:
     gotcha; the activation scales are python floats and stay static).
     """
     qdev = jax.tree.map(jnp.asarray, {k: dict(v) for k, v in qw.items()})
+    fwd = folded_forward_for(qw)
 
     def forward(images_u8, weights=None):
-        return forward_folded(
+        return fwd(
             images_u8, QuantOps(qdev if weights is None else weights,
                                 scales))
 

@@ -218,6 +218,39 @@ def test_export_quantized_roundtrip(tmp_path):
                                np.asarray(m(reg3, obj3, cls3)), atol=1e-6)
 
 
+def test_export_quantized_anchorfree_roundtrip(tmp_path):
+    """Int8 StableHLO export of the anchor-free family (one stride-16
+    deploy map, family self-described by the artifact op names)."""
+    import jax
+    import jax.numpy as jnp
+    from fastdet.export.stablehlo import export_quantized, load_exported
+    from fastdet.models.anchorfree import AnchorFreeDetector
+    from fastdet.quant import calibrate, fold_model, quantize_weights
+    from fastdet.quant.ptq import QuantOps, forward_folded_af
+
+    model = AnchorFreeDetector(classes=5)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    rng = np.random.RandomState(4)
+    calib = rng.randint(0, 255, (4, 64, 64, 3), np.uint8)
+    folded = fold_model(variables)
+    scales = calibrate(folded, calib, batch=4)
+    qw = quantize_weights(folded)
+
+    out = str(tmp_path / "af-int8.stablehlo")
+    export_quantized(qw, scales, out, input_hw=(64, 64), batch=2)
+    call = load_exported(out)
+    img = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3), np.uint8))
+    e = call(img)
+
+    obj, cls, reg = forward_folded_af(
+        img, QuantOps(jax.tree.map(jnp.asarray, qw), scales))
+    want = jnp.concatenate(
+        [jax.nn.sigmoid(reg), jax.nn.sigmoid(obj),
+         jax.nn.softmax(cls, axis=-1)], axis=-1)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(want), atol=1e-6)
+
+
 def test_merge_variables_partial_finetune():
     """strict=False finetune semantics: backbone+FPN load from an
     80-class checkpoint under a 5-class head."""

@@ -246,6 +246,83 @@ def test_int8_eval_cli_smoke(tmp_path):
         stdout[-3000:]
 
 
+def test_folded_float_matches_linen_anchorfree():
+    """forward_folded_af(FloatOps) ≡ AnchorFreeDetector.apply — the
+    anchor-free family's folded deploy graph is structurally exact."""
+    import jax
+
+    from fastdet.models.anchorfree import AnchorFreeDetector
+    from fastdet.quant.ptq import (FloatOps, folded_forward_for,
+                                   infer_family)
+    model = AnchorFreeDetector(classes=80)
+    variables = model.init(jax.random.PRNGKey(4),
+                           jnp.zeros((1, 352, 352, 3)), train=False)
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 255, (2, 352, 352, 3), np.uint8)
+    ref = model.apply(variables, jnp.asarray(img, jnp.float32) / 255.0,
+                      train=False)
+    folded = fold_model(variables)
+    assert infer_family(folded) == "anchorfree"
+    outs = folded_forward_for(folded)(jnp.asarray(img), FloatOps(folded))
+    for i, (a, b) in enumerate(zip(ref, outs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, err_msg=f"output {i}")
+
+
+def test_int8_anchorfree_roundtrip_and_detect(tmp_path):
+    """The anchor-free int8 chain end-to-end: quantize → artifact
+    roundtrip (family self-described) → int8 detections agree with the
+    f32 model's (same protocol as the anchor-based golden test, on the
+    random-init net at a low threshold)."""
+    import jax
+
+    from fastdet.models.anchorfree import (AnchorFreeDetector,
+                                           build_anchorfree_detect_fn,
+                                           decode_anchorfree)
+    from fastdet.ops.nms import batched_nms
+    from fastdet.quant import (calibrate, forward_from, load_quantized,
+                               save_quantized)
+    model = AnchorFreeDetector(classes=80)
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.zeros((1, 352, 352, 3)), train=False)
+    rng = np.random.RandomState(10)
+    imgs = rng.randint(0, 255, (3, 352, 352, 3), np.uint8)
+
+    folded = fold_model(variables)
+    scales = calibrate(folded, imgs, batch=3)
+    qw = quantize_weights(folded)
+    path = str(tmp_path / "af-int8.npz")
+    save_quantized(path, qw, scales)
+    qw2, scales2 = load_quantized(path)
+    from fastdet.quant.ptq import infer_family
+    assert infer_family(qw2) == "anchorfree"
+
+    fwd_q = forward_from(qw2, scales2)
+
+    @jax.jit
+    def detect_q(im, weights):
+        obj, cls, reg = fwd_q(im, weights)
+        boxes, obj_p, cls_p = decode_anchorfree(obj, cls, reg, (352, 352))
+        return batched_nms(boxes, obj_p, cls_p, conf_thres=0.004,
+                           iou_thres=0.45)
+
+    detect_f = build_anchorfree_detect_fn(model, (352, 352),
+                                          conf_thres=0.004)
+    df, nf = detect_f(variables, jnp.asarray(imgs))
+    dq, nq = detect_q(jnp.asarray(imgs),
+                      jax.tree.map(jnp.asarray, qw2))
+    nf, nq = np.asarray(nf), np.asarray(nq)
+    assert nf.sum() > 0, "f32 found nothing even at conf 0.004"
+    matched = total = 0
+    for j in range(len(imgs)):
+        a = np.asarray(df[j][:nf[j]])
+        b = np.asarray(dq[j][:nq[j]])
+        ious = _greedy_match(a, b)
+        matched += sum(1 for i in ious if i >= 0.5)
+        total += len(a)
+    assert matched / max(total, 1) >= 0.8, (matched, total)
+
+
 @requires_reference
 def test_int8_detections_match_f32(ref_variables, coco_cfg, golden_u8):
     """End-to-end: the int8 graph's golden-image detections agree with
