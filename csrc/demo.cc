@@ -78,7 +78,7 @@ int main(int argc, char** argv) {
   // preprocess (validates the image path end-to-end)
   std::vector<uint8_t> input((size_t)kInput * kInput * 3);
   const char* paths[1] = {argv[1]};
-  if (fd_preprocess_batch(paths, 1, kInput, kInput, /*bgr=*/1,
+  if (fd_preprocess_batch(paths, 1, kInput, kInput, /*bgr=*/1, /*fast=*/0,
                           input.data()) != 0) {
     std::fprintf(stderr, "failed to load %s\n", argv[1]);
     return 1;

@@ -40,11 +40,13 @@ int fd_postprocess(const float* s16, const float* s32, int batch,
 /* Decode JPEG/PNG files and bilinear-resize (OpenCV INTER_LINEAR
  * geometry: src = (dst + 0.5) * scale - 0.5, no letterbox) into a packed
  * uint8 NHWC tensor.  channels_bgr!=0 emits BGR (cv2 convention).
- * Parallel over images (OpenMP).  Returns 0 on success, else the 1-based
- * index of the first file that failed to load.
+ * fast_decode!=0 decodes JPEGs at the smallest covering M/8 scaled-DCT
+ * size with fast IDCT (~2x cheaper; pixel values differ slightly from
+ * the full decode).  Parallel over images (OpenMP).  Returns 0 on
+ * success, else the 1-based index of the first file that failed.
  */
 int fd_preprocess_batch(const char** paths, int n, int dst_w, int dst_h,
-                        int channels_bgr, uint8_t* out);
+                        int channels_bgr, int fast_decode, uint8_t* out);
 
 /* Bilinear-resize a raw uint8 HWC image (any channel count up to 4). */
 void fd_resize_bilinear(const uint8_t* src, int sh, int sw, int ch,
@@ -60,7 +62,8 @@ void fd_pack_s2d(const uint8_t* src, int h, int w, uint8_t* dst,
 /* fd_preprocess_batch emitting the s2d(4) layout directly: out is
  * (n, 48, pad128(dst_h/4 * dst_w/4)) uint8. */
 int fd_preprocess_batch_s2d(const char** paths, int n, int dst_w,
-                            int dst_h, int channels_bgr, uint8_t* out);
+                            int dst_h, int channels_bgr, int fast_decode,
+                            uint8_t* out);
 
 /* Library version tag (for the ctypes wrapper to sanity check). */
 int fd_version(void);

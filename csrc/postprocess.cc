@@ -109,4 +109,4 @@ extern "C" int fd_postprocess(const float* s16, const float* s32, int batch,
   return 0;
 }
 
-extern "C" int fd_version(void) { return 1; }
+extern "C" int fd_version(void) { return 2; }

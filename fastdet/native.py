@@ -49,7 +49,7 @@ def _load():
         _lib.fd_preprocess_batch.restype = ctypes.c_int
         _lib.fd_preprocess_batch_s2d.restype = ctypes.c_int
         _lib.fd_version.restype = ctypes.c_int
-        assert _lib.fd_version() == 1
+        assert _lib.fd_version() == 2
     return _lib
 
 
@@ -62,14 +62,20 @@ def available() -> bool:
 
 
 def preprocess_batch(paths: Sequence[str], width: int = 352,
-                     height: int = 352, bgr: bool = True) -> np.ndarray:
-    """Decode + resize a batch of image files → (N,H,W,3) uint8."""
+                     height: int = 352, bgr: bool = True,
+                     fast: bool = False) -> np.ndarray:
+    """Decode + resize a batch of image files → (N,H,W,3) uint8.
+
+    fast=True decodes JPEGs at the smallest covering M/8 scaled-DCT size
+    with fast IDCT (~2× cheaper; pixel values differ slightly from the
+    full decode — detections on the golden image are pinned equal by
+    test_native.py)."""
     lib = _load()
     n = len(paths)
     out = np.empty((n, height, width, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     rc = lib.fd_preprocess_batch(
-        arr, n, width, height, 1 if bgr else 0,
+        arr, n, width, height, 1 if bgr else 0, 1 if fast else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         raise IOError(f"failed to load image: {paths[rc - 1]}")
@@ -77,7 +83,8 @@ def preprocess_batch(paths: Sequence[str], width: int = 352,
 
 
 def preprocess_batch_s2d(paths: Sequence[str], width: int = 352,
-                         height: int = 352, bgr: bool = True) -> np.ndarray:
+                         height: int = 352, bgr: bool = True,
+                         fast: bool = False) -> np.ndarray:
     """Decode + resize + pack a batch straight into the TPU fused-stem
     s2d(4) uint8 layout → (N, 48, pad128(H/4·W/4)); bit-identical to
     `fused_infer.pack_images_s2d(preprocess_batch(...))` with no
@@ -89,7 +96,7 @@ def preprocess_batch_s2d(paths: Sequence[str], width: int = 352,
     out = np.empty((n, 48, npad), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     rc = lib.fd_preprocess_batch_s2d(
-        arr, n, width, height, 1 if bgr else 0,
+        arr, n, width, height, 1 if bgr else 0, 1 if fast else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         raise IOError(f"failed to load image: {paths[rc - 1]}")

@@ -103,12 +103,17 @@ class FusedPipeline:
 
     `family` selects the model head: "yolo-fastestv2" (anchor decode +
     NMS) or "anchorfree" (sigma-squared decode + NMS) — both run the
-    same Pallas backbone kernels (fused_infer.py head= parameter)."""
+    same Pallas backbone kernels (fused_infer.py head= parameter).
+
+    `fast_decode=True` uses the scaled-DCT JPEG fast path in the native
+    preprocessor (~2× cheaper host decode; pixel values differ slightly
+    from the full decode — see csrc/preprocess.cc)."""
 
     def __init__(self, variables, cfg: Config, conf_thres=0.3,
                  iou_thres=0.45, max_det=300, max_nms=256,
                  dtype=None, interpret: bool = False, mesh=None,
-                 family: str = "yolo-fastestv2"):
+                 family: str = "yolo-fastestv2",
+                 fast_decode: bool = False):
         import jax
         import jax.numpy as jnp
         from fastdet.kernels.fused_infer import (build_fused_forward,
@@ -117,6 +122,7 @@ class FusedPipeline:
         if dtype is None:
             dtype = jnp.bfloat16
         anchorfree = family in ("anchorfree", "fastestdet")
+        self._fast_decode = fast_decode
         self._cfg = cfg
         self._hw = (cfg.height, cfg.width)
         self._npad = ((cfg.height // 4) * (cfg.width // 4) + 127) \
@@ -201,7 +207,8 @@ class FusedPipeline:
         if native.available():
             return native.preprocess_batch_s2d(list(paths),
                                                self._cfg.width,
-                                               self._cfg.height)
+                                               self._cfg.height,
+                                               fast=self._fast_decode)
         import cv2
         imgs = np.stack([cv2.resize(cv2.imread(p), (self._cfg.width,
                                                     self._cfg.height))

@@ -40,6 +40,64 @@ def test_preprocess_matches_cv2(native_lib, tmp_path):
     assert d.max() <= 2 and (d > 1).mean() < 0.01
 
 
+def test_fast_decode_close_and_detections_stable(native_lib, tmp_path):
+    """Scaled-DCT fast decode: pixels stay close to the full decode at
+    camera resolutions (measured 1.6–4.0× cheaper at 1920–4032 px wide,
+    p99 |diff| ≤ 6 — csrc/preprocess.cc), and on the golden image the
+    detections through the standard chain are unchanged."""
+    src = cv2.imread(GOLDEN_IMG)
+    big = cv2.resize(src, (1920, 1440))
+    p = str(tmp_path / "big.jpg")
+    cv2.imwrite(p, big, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    a = native.preprocess_batch([p], 352, 352)
+    b = native.preprocess_batch([p], 352, 352, fast=True)
+    d = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    assert d.mean() < 2.0 and np.percentile(d, 99) <= 10, \
+        (d.mean(), np.percentile(d, 99))
+    # s2d variant honors the flag identically
+    sa = native.preprocess_batch_s2d([p], 352, 352, fast=True)
+    from fastdet.kernels.fused_infer import pack_images_s2d
+    np.testing.assert_array_equal(sa, np.asarray(pack_images_s2d(b)))
+
+
+@requires_reference
+def test_fast_decode_golden_detections_stable(native_lib, ref_variables,
+                                              coco_cfg):
+    """fast=True preprocessing preserves every CONFIDENT detection of
+    the golden photo (same class, IoU ≥ 0.9, conf within 0.1) through
+    the standard XLA detect chain; borderline detections (the 0.33-conf
+    third person here) may flip — that's the documented fast-path
+    trade."""
+    import jax.numpy as jnp
+
+    from fastdet.models import Detector
+    from fastdet.ops.postprocess import build_detect_fn
+    detect = build_detect_fn(Detector(classes=80, anchor_num=3), coco_cfg,
+                             conf_thres=0.3, iou_thres=0.4)
+    outs = []
+    for fast in (False, True):
+        img = native.preprocess_batch([GOLDEN_IMG], 352, 352, fast=fast)
+        dets, counts = detect(ref_variables, jnp.asarray(img))
+        outs.append(np.asarray(dets[0][:int(counts[0])]))
+    a, b = outs
+    conf_a = a[a[:, 4] >= 0.4]
+    assert len(conf_a) >= 2
+    for row in conf_a:
+        ious = []
+        for cand in b:
+            if int(cand[5]) != int(row[5]):
+                continue
+            x1 = max(row[0], cand[0]); y1 = max(row[1], cand[1])
+            x2 = min(row[2], cand[2]); y2 = min(row[3], cand[3])
+            inter = max(x2 - x1, 0.0) * max(y2 - y1, 0.0)
+            ua = ((row[2] - row[0]) * (row[3] - row[1])
+                  + (cand[2] - cand[0]) * (cand[3] - cand[1]) - inter)
+            if inter / ua >= 0.9 and abs(cand[4] - row[4]) <= 0.1:
+                ious.append(inter / ua)
+        assert ious, f"confident detection lost under fast decode: {row}"
+    assert abs(len(a) - len(b)) <= 1
+
+
 def test_resize_identity(native_lib, tmp_path):
     rng = np.random.RandomState(1)
     img = rng.randint(0, 255, (64, 64, 3), np.uint8)
