@@ -142,6 +142,23 @@ def convert_torch_checkpoint(pth_path: str, out_path: str,
     return variables
 
 
+def save_npz_variables(variables: dict, out_path: str) -> None:
+    """Save a variables pytree as the flat .npz the CLIs load (inverse
+    of `load_npz_variables`; same layout `convert_torch_checkpoint`
+    writes)."""
+    flat = {}
+
+    def _flatten(tree, prefix):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                _flatten(v, prefix + (k,))
+            else:
+                flat["/".join(prefix + (k,))] = np.asarray(v)
+
+    _flatten(variables, ())
+    np.savez(out_path, **flat)
+
+
 def load_npz_variables(npz_path: str) -> dict:
     """Reload a converted .npz into the nested variable pytree."""
     flat = np.load(npz_path)

@@ -181,6 +181,38 @@ def test_fused_pipeline_anchorfree_matches_xla():
         np.testing.assert_allclose(a[:, :5], b[:, :5], atol=1e-3)
 
 
+@pytest.mark.slow
+def test_cli_fused_anchorfree_smoke(tmp_path):
+    """cli/test.py --model anchorfree --fused runs the Pallas fused
+    serving path end-to-end from saved weights (random-init; output
+    image written, zero-crash contract)."""
+    import os
+    import subprocess
+    import sys
+
+    from fastdet.io.torch_convert import save_npz_variables
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model = AnchorFreeDetector(classes=80)
+    variables = model.init(jax.random.PRNGKey(6),
+                           jnp.zeros((1, 352, 352, 3)), train=False)
+    w = str(tmp_path / "af.npz")
+    save_npz_variables(variables, w)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "cli", "test.py"),
+         "--data", os.path.join(repo, "data", "coco.data"),
+         "--weights", w, "--model", "anchorfree", "--fused",
+         "--img", "/root/reference/img/000139.jpg",
+         "--output", str(tmp_path / "out.png")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo)
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert "saved" in r.stdout
+    assert os.path.exists(tmp_path / "out.png")
+
+
 def test_training_reduces_loss():
     """A few SGD steps on a fixed batch reduce the anchor-free loss."""
     import optax
