@@ -251,6 +251,7 @@ def main():
     # path instead (b128 measured 29.6 vs b256 34.6 µs/img there — the
     # same batch optimum as the fused path).
     af_img_s = None
+    af_path = os.environ.get("FASTDET_BENCH_AF_PATH", "fused")
     if os.environ.get("FASTDET_BENCH_ANCHORFREE", "1") == "1":
         from fastdet.models.anchorfree import (
             AnchorFreeDetector, build_anchorfree_detect_fn,
@@ -260,7 +261,8 @@ def main():
                           jnp.zeros((1, cfg.height, cfg.width, 3)),
                           train=False)
         ab, ak = 128, 64
-        if os.environ.get("FASTDET_BENCH_AF_PATH", "fused") == "fused":
+
+        def measure_af_fused():
             af_detect_f, af_packed = build_anchorfree_fused_detect(
                 af_vars, hw, conf_thres=0.3, iou_thres=0.4)
 
@@ -270,11 +272,12 @@ def main():
                     return None, af_detect_f(packed, im)
                 return jax.lax.scan(body, None, images_k)[1]
 
-            af_imgs = dev_randu8((ak, ab, 48, npad), seed=3)
-            af_imgs.block_until_ready()
-            adt = timed_min(lambda: af_chain_f(af_packed, af_imgs),
-                            lambda out: jax.device_get(out[1][-1, :1]), 3)
-        else:
+            imgs = dev_randu8((ak, ab, 48, npad), seed=3)
+            imgs.block_until_ready()
+            return timed_min(lambda: af_chain_f(af_packed, imgs),
+                             lambda out: jax.device_get(out[1][-1, :1]), 3)
+
+        def measure_af_xla():
             af_detect = build_anchorfree_detect_fn(af, hw, conf_thres=0.3,
                                                    iou_thres=0.4)
 
@@ -284,13 +287,22 @@ def main():
                     return None, af_detect(v, im)
                 return jax.lax.scan(body, None, images_k)[1]
 
-            af_imgs = dev_randu8((ak, ab, cfg.height, cfg.width, 3),
-                                 seed=3)
-            af_imgs.block_until_ready()
-            adt = timed_min(lambda: af_chain(af_vars, af_imgs),
-                            lambda out: jax.device_get(out[1][-1, :1]), 3)
+            imgs = dev_randu8((ak, ab, cfg.height, cfg.width, 3), seed=3)
+            imgs.block_until_ready()
+            return timed_min(lambda: af_chain(af_vars, imgs),
+                             lambda out: jax.device_get(out[1][-1, :1]), 3)
+
+        if af_path == "fused":
+            try:
+                adt = measure_af_fused()
+            except Exception:
+                # never lose the whole bench artifact to the newer path;
+                # the XLA path is hardware-proven (36.6k img/s r3)
+                af_path = "xla-fallback"
+                adt = measure_af_xla()
+        else:
+            adt = measure_af_xla()
         af_img_s = round(ak * ab / adt, 1)
-        del af_imgs
 
     # int8 PTQ path throughput from a cli/quantize.py artifact (the
     # quantized deploy mode; see docs/QUANT.md).  Skipped if no artifact.
@@ -300,27 +312,31 @@ def main():
                                            "coco-int8.npz"))
     if os.environ.get("FASTDET_BENCH_INT8", "1") == "1" \
             and os.path.exists(int8_art):
-        from fastdet.quant import forward_from, load_quantized
-        qw_, qsc = load_quantized(int8_art)
-        fwd_q = forward_from(qw_, qsc)
-        qw_ = jax.tree.map(jnp.asarray, qw_)
+        try:
+            from fastdet.quant import forward_from, load_quantized
+            qw_, qsc = load_quantized(int8_art)
+            fwd_q = forward_from(qw_, qsc)
+            qw_ = jax.tree.map(jnp.asarray, qw_)
 
-        @jax.jit
-        def int8_chain(weights, images_k, anchors_arg):
-            def body(_, im):
-                outs = list(fwd_q(im, weights))
-                return None, postprocess(outs, anchors_arg, hw,
-                                         conf_thres=0.3, iou_thres=0.4,
-                                         max_nms=256)
-            return jax.lax.scan(body, None, images_k)[1]
+            @jax.jit
+            def int8_chain(weights, images_k, anchors_arg):
+                def body(_, im):
+                    outs = list(fwd_q(im, weights))
+                    return None, postprocess(outs, anchors_arg, hw,
+                                             conf_thres=0.3, iou_thres=0.4,
+                                             max_nms=256)
+                return jax.lax.scan(body, None, images_k)[1]
 
-        qb, qk = 128, 32
-        q_imgs = dev_randu8((qk, qb, cfg.height, cfg.width, 3), seed=5)
-        q_imgs.block_until_ready()
-        qdt = timed_min(lambda: int8_chain(qw_, q_imgs, anchors),
-                        lambda out: jax.device_get(out[1][-1, :1]), 3)
-        int8_img_s = round(qk * qb / qdt, 1)
-        del q_imgs
+            qb, qk = 128, 32
+            q_imgs = dev_randu8((qk, qb, cfg.height, cfg.width, 3),
+                                seed=5)
+            q_imgs.block_until_ready()
+            qdt = timed_min(lambda: int8_chain(qw_, q_imgs, anchors),
+                            lambda out: jax.device_get(out[1][-1, :1]), 3)
+            int8_img_s = round(qk * qb / qdt, 1)
+            del q_imgs
+        except Exception:
+            int8_img_s = None      # secondary metric: never sink the bench
 
     # end-to-end serving rate: image FILES → native host decode + resize
     # + s2d pack → device fused detect → boxes on host.  The producer
@@ -423,8 +439,7 @@ def main():
         "latency_ms_b1_chip": round(b1_chip_ms, 3),
         "img_s_640_chip": img_s_640,
         "anchorfree_img_s": af_img_s,
-        "anchorfree_path": os.environ.get("FASTDET_BENCH_AF_PATH",
-                                          "fused"),
+        "anchorfree_path": af_path,
         "int8_img_s": int8_img_s,
         "e2e_img_s": e2e_img_s,
         "host_pre_us_img": (round(host_pre_us, 1)
