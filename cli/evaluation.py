@@ -122,29 +122,46 @@ def main():
     elif opt.fused:
         # the production serving path, eval-grade: fp32 fused forward
         # (Pallas span/stem/NMS kernels) + s2d input packing; metrics
-        # must match the linen path (pinned by tests/test_cli.py)
-        assert opt.model == "yolo-fastestv2", \
-            "--fused is only available for the yolo-fastestv2 family"
+        # must match the linen path (pinned by tests/test_cli.py).
+        # Both families run it (head= in fused_infer.py).
         import numpy as np
         from fastdet.kernels.fused_infer import (build_fused_forward,
                                                  pack_images_s2d)
         from fastdet.ops.postprocess import postprocess
         interpret = jax.default_backend() != "tpu"
+        af = family.name == "anchorfree"
         anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(
             cfg.num_scales, cfg.anchor_num, 2))
         fwd, packed = build_fused_forward(
             variables, input_hw=(cfg.height, cfg.width),
             anchor_num=cfg.anchor_num, classes=cfg.classes,
             dtype=jnp.float32, interpret=interpret,
-            input_format="s2d_u8")
+            input_format="s2d_u8",
+            head="anchorfree" if af else "yolo")
 
         def make_detect(conf_thres, iou_thres, max_nms=1024):
-            @jax.jit
-            def _d(packed, xs, anchors):
-                outs = list(fwd(xs, packed))
-                return postprocess(outs, anchors, (cfg.height, cfg.width),
-                                   conf_thres=conf_thres,
-                                   iou_thres=iou_thres, max_nms=max_nms)
+            if af:
+                from fastdet.models.anchorfree import decode_anchorfree
+                from fastdet.ops.nms import batched_nms
+
+                @jax.jit
+                def _d(packed, xs, anchors):
+                    obj, cls, reg = fwd(xs, packed)
+                    boxes, obj_p, cls_p = decode_anchorfree(
+                        obj, cls, reg, (cfg.height, cfg.width))
+                    return batched_nms(boxes, obj_p, cls_p,
+                                       conf_thres=conf_thres,
+                                       iou_thres=iou_thres,
+                                       max_nms=max_nms)
+            else:
+                @jax.jit
+                def _d(packed, xs, anchors):
+                    outs = list(fwd(xs, packed))
+                    return postprocess(outs, anchors,
+                                       (cfg.height, cfg.width),
+                                       conf_thres=conf_thres,
+                                       iou_thres=iou_thres,
+                                       max_nms=max_nms)
 
             def detect(_variables, images):
                 xs = jnp.asarray(pack_images_s2d(

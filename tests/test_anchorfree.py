@@ -213,6 +213,44 @@ def test_cli_fused_anchorfree_smoke(tmp_path):
     assert os.path.exists(tmp_path / "out.png")
 
 
+@pytest.mark.slow
+def test_cli_eval_fused_anchorfree_smoke(tmp_path):
+    """cli/evaluation.py --model anchorfree --fused runs the whole val
+    protocol through the fused anchor-free path and prints the
+    reference-format metrics line."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from fastdet.io.torch_convert import save_npz_variables
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model = AnchorFreeDetector(classes=80)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, 352, 352, 3)), train=False)
+    w = str(tmp_path / "af.npz")
+    save_npz_variables(variables, w)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    out = str(tmp_path / "dv")
+    gen = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "make_derived_val.py"),
+         "--out", out, "--count", "8"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo)
+    assert gen.returncode == 0, gen.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "cli", "evaluation.py"),
+         "--data", os.path.join(out, "derived.data"),
+         "--weights", w, "--model", "anchorfree", "--fused"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=repo)
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert re.search(
+        r"Precision:[\d.]+ Recall:[\d.]+ AP:[\d.]+ F1:[\d.]+", r.stdout)
+
+
 def test_training_reduces_loss():
     """A few SGD steps on a fixed batch reduce the anchor-free loss."""
     import optax
