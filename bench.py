@@ -214,8 +214,22 @@ def main():
     # Named _chip, not _streaming: a lax.scan chains pre-uploaded device
     # batches — it measures the chip, with no host preprocessing overlap
     # (the true host→device streaming rate is `e2e_img_s` below).
-    img_s_640 = None
-    if os.environ.get("FASTDET_BENCH_640", "1") == "1":
+    # Secondary sections never sink the artifact: a transient failure
+    # (the dev relay's TPU worker has been observed to crash mid-run,
+    # which poisons every subsequent device call in this process) nulls
+    # that field, records the error, and the headline JSON still prints.
+    section_errors = {}
+
+    def run_section(name, fn, enabled=True):
+        if not enabled:
+            return None
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — secondary metric
+            section_errors[name] = repr(e)[:160]
+            return None
+
+    def sec_640():
         # 640² runs the row-chunked fused stem (s2d input layout)
         fwd6, packed6 = build_fused_forward(variables, input_hw=(640, 640),
                                             anchor_num=cfg.anchor_num,
@@ -241,8 +255,11 @@ def main():
         imgs6.block_until_ready()
         dt6 = timed_min(lambda: chain640(packed6, imgs6, anchors),
                         lambda out: jax.device_get(out[1][-1, :1]), 3)
-        img_s_640 = round(k6 * b6 / dt6, 1)
-        del imgs6
+        return round(k6 * b6 / dt6, 1)
+
+    img_s_640 = run_section(
+        "640", sec_640,
+        enabled=os.environ.get("FASTDET_BENCH_640", "1") == "1")
 
     # second model family: anchor-free (FastestDet-style) detect
     # throughput, device-resident chained batches.  Default path is the
@@ -250,9 +267,10 @@ def main():
     # the flagship; FASTDET_BENCH_AF_PATH=xla measures the plain-XLA
     # path instead (b128 measured 29.6 vs b256 34.6 µs/img there — the
     # same batch optimum as the fused path).
-    af_img_s = None
     af_path = os.environ.get("FASTDET_BENCH_AF_PATH", "fused")
-    if os.environ.get("FASTDET_BENCH_ANCHORFREE", "1") == "1":
+
+    def sec_anchorfree():
+        nonlocal af_path
         from fastdet.models.anchorfree import (
             AnchorFreeDetector, build_anchorfree_detect_fn,
             build_anchorfree_fused_detect)
@@ -302,41 +320,35 @@ def main():
                 adt = measure_af_xla()
         else:
             adt = measure_af_xla()
-        af_img_s = round(ak * ab / adt, 1)
+        return round(ak * ab / adt, 1)
 
     # int8 PTQ path throughput from a cli/quantize.py artifact (the
     # quantized deploy mode; see docs/QUANT.md).  Skipped if no artifact.
-    int8_img_s = None
     int8_art = os.environ.get("FASTDET_BENCH_INT8_ART",
                               os.path.join(repo, "weights",
                                            "coco-int8.npz"))
-    if os.environ.get("FASTDET_BENCH_INT8", "1") == "1" \
-            and os.path.exists(int8_art):
-        try:
-            from fastdet.quant import forward_from, load_quantized
-            qw_, qsc = load_quantized(int8_art)
-            fwd_q = forward_from(qw_, qsc)
-            qw_ = jax.tree.map(jnp.asarray, qw_)
 
-            @jax.jit
-            def int8_chain(weights, images_k, anchors_arg):
-                def body(_, im):
-                    outs = list(fwd_q(im, weights))
-                    return None, postprocess(outs, anchors_arg, hw,
-                                             conf_thres=0.3, iou_thres=0.4,
-                                             max_nms=256)
-                return jax.lax.scan(body, None, images_k)[1]
+    def sec_int8():
+        from fastdet.quant import forward_from, load_quantized
+        qw_, qsc = load_quantized(int8_art)
+        fwd_q = forward_from(qw_, qsc)
+        qw_ = jax.tree.map(jnp.asarray, qw_)
 
-            qb, qk = 128, 32
-            q_imgs = dev_randu8((qk, qb, cfg.height, cfg.width, 3),
-                                seed=5)
-            q_imgs.block_until_ready()
-            qdt = timed_min(lambda: int8_chain(qw_, q_imgs, anchors),
-                            lambda out: jax.device_get(out[1][-1, :1]), 3)
-            int8_img_s = round(qk * qb / qdt, 1)
-            del q_imgs
-        except Exception:
-            int8_img_s = None      # secondary metric: never sink the bench
+        @jax.jit
+        def int8_chain(weights, images_k, anchors_arg):
+            def body(_, im):
+                outs = list(fwd_q(im, weights))
+                return None, postprocess(outs, anchors_arg, hw,
+                                         conf_thres=0.3, iou_thres=0.4,
+                                         max_nms=256)
+            return jax.lax.scan(body, None, images_k)[1]
+
+        qb, qk = 128, 32
+        q_imgs = dev_randu8((qk, qb, cfg.height, cfg.width, 3), seed=5)
+        q_imgs.block_until_ready()
+        qdt = timed_min(lambda: int8_chain(qw_, q_imgs, anchors),
+                        lambda out: jax.device_get(out[1][-1, :1]), 3)
+        return round(qk * qb / qdt, 1)
 
     # end-to-end serving rate: image FILES → native host decode + resize
     # + s2d pack → device fused detect → boxes on host.  The producer
@@ -347,9 +359,7 @@ def main():
     # throughput field here is device-resident.  `host_pre_us_img` is
     # the host preprocessing cost alone on THIS host's cores;
     # docs/PERF.md gives the per-core scaling model for a real TPU host.
-    e2e_img_s = None
-    host_pre_us = None
-    if os.environ.get("FASTDET_BENCH_E2E", "1") == "1":
+    def sec_e2e():
         import tempfile
 
         import cv2
@@ -383,7 +393,12 @@ def main():
         out = stream.run_files(all_paths)
         dt = time.perf_counter() - t0
         assert len(out) == n_total
-        e2e_img_s = round(n_total / dt, 1)
+        return round(n_total / dt, 1), host_pre_us
+
+    _e2e = run_section(
+        "e2e", sec_e2e,
+        enabled=os.environ.get("FASTDET_BENCH_E2E", "1") == "1")
+    e2e_img_s, host_pre_us = _e2e if _e2e else (None, None)
 
     # training throughput (chained steps, on-chip): always measured —
     # the driver artifact must carry the framework's flagship training
@@ -393,8 +408,7 @@ def main():
     # dispatch overhead is <5% of a rep) takes ~1 s per rep once
     # compiled — the one-time compile dominates.  FASTDET_BENCH_TRAIN=0
     # skips.
-    train_img_s = None
-    if os.environ.get("FASTDET_BENCH_TRAIN", "1") == "1":
+    def sec_train():
         from fastdet.train.trainer import Trainer
         # swept: b64 4.4k, b128 7.45k, b256 7.0k, b512 6.0k img/s —
         # the same b128 optimum as the serving paths
@@ -426,7 +440,22 @@ def main():
             return mk
         tdt = timed_min(tdispatch,
                         lambda mk: jax.device_get(mk["total"][-1:]), 3)
-        train_img_s = round(tk * tb / tdt, 1)
+        return round(tk * tb / tdt, 1)
+
+    train_img_s = run_section(
+        "train", sec_train,
+        enabled=os.environ.get("FASTDET_BENCH_TRAIN", "1") == "1")
+
+    # The two newest device paths run LAST: a TPU-worker crash (observed
+    # on the dev relay with the post-int8 device state) then costs only
+    # these secondary fields, never the flagship serving/train numbers.
+    af_img_s = run_section(
+        "anchorfree", sec_anchorfree,
+        enabled=os.environ.get("FASTDET_BENCH_ANCHORFREE", "1") == "1")
+    int8_img_s = run_section(
+        "int8", sec_int8,
+        enabled=os.environ.get("FASTDET_BENCH_INT8", "1") == "1"
+        and os.path.exists(int8_art))
 
     result = {
         "metric": "fused_inference_images_per_sec_per_chip_352",
@@ -451,6 +480,7 @@ def main():
         "sync_verified": bool(sync_mode),
         "fetch_ms": round(fetch_ms, 3),
         "null_rtt_ms": round(null_rtt_ms, 3),
+        "section_errors": section_errors or None,
     }
     print(json.dumps(result))
 

@@ -44,6 +44,9 @@ def main():
                              "into this directory")
     parser.add_argument("--logdir", type=str, default="",
                         help="append per-step metrics to <logdir>/train.jsonl")
+    parser.add_argument("--tb", action="store_true",
+                        help="also write TensorBoard event files under "
+                             "<logdir>/train_tb (requires --logdir)")
     parser.add_argument("--model", type=str, default="yolo-fastestv2",
                         help="model family: yolo-fastestv2 | anchorfree")
     parser.add_argument("--backbone", type=str, default="",
@@ -157,7 +160,8 @@ def main():
     from fastdet.utils import MetricsLogger, StepTimer, trace
     # host files (metrics jsonl, npz weights) are written by process 0
     # only; orbax checkpoints coordinate across processes internally
-    mlog = MetricsLogger((opt.logdir or None) if primary else None, "train")
+    mlog = MetricsLogger((opt.logdir or None) if primary else None, "train",
+                         tensorboard=opt.tb)
     timer = StepTimer()
 
     start_epoch = 0

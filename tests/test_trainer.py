@@ -141,6 +141,24 @@ def test_utils_profiling_and_logging(tmp_path):
     assert recs[1]["kind"] == "eval"
 
 
+def test_metrics_logger_tensorboard(tmp_path):
+    """`tensorboard=True` mirrors float scalars to event files
+    (SURVEY.md §5: optional TensorBoard writer on top of JSONL)."""
+    import os
+    from fastdet.utils import MetricsLogger
+
+    log = MetricsLogger(str(tmp_path), "t", tensorboard=True)
+    log.log(1, {"total": 1.5, "lr": 0.001})
+    log.log(5, {"mAP": 0.2}, kind="eval")
+    log.close()
+    tb_dir = tmp_path / "t_tb"
+    if not tb_dir.exists():
+        pytest.skip("no tensorboard backend available")
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, "no TensorBoard event file written"
+    assert os.path.getsize(tb_dir / events[0]) > 0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     """Orbax save/restore of the full train state (true resume — a
     capability the reference lacks, SURVEY.md §5)."""
