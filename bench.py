@@ -22,6 +22,7 @@ i.e. the on-chip latency a co-located server would see.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -30,7 +31,102 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _int8_child_main():
+    """Child-process body for the int8 section (`bench.py --int8-child`).
+
+    r3 post-mortem: the int8 chain is healthy on a clean TPU client
+    (measured 5.6k img/s in isolation) but crashed the TPU worker when
+    run after the full bench's accumulated device state.  Running it in
+    a FRESH process, FIRST, isolates it both ways: it sees a clean
+    device, and a fault in it cannot poison the parent's sections.
+    Prints one JSON line {"int8_img_s": N} on success."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdet.config import Config
+    from fastdet.ops.postprocess import postprocess
+    from fastdet.quant import forward_from, load_quantized
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cfg = Config.from_file(os.path.join(repo, "data", "coco.data"))
+    hw = (cfg.height, cfg.width)
+    anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32)
+                          .reshape(cfg.num_scales, cfg.anchor_num, 2))
+    int8_art = os.environ.get(
+        "FASTDET_BENCH_INT8_ART",
+        os.path.join(repo, "weights", "coco-int8.npz"))
+
+    qw_, qsc = load_quantized(int8_art)
+    fwd_q = forward_from(qw_, qsc)
+    qw_ = jax.tree.map(jnp.asarray, qw_)
+
+    # same null-RTT correction as the parent (see main())
+    _null = jax.jit(lambda x: x + 1.0)
+    _v = jnp.float32(0)
+    float(_null(_v))
+    _rtts = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(_null(_v))
+        _rtts.append(time.perf_counter() - t0)
+    null_rtt = min(_rtts)
+
+    @jax.jit
+    def int8_chain(weights, images_k, anchors_arg):
+        def body(_, im):
+            outs = list(fwd_q(im, weights))
+            return None, postprocess(outs, anchors_arg, hw,
+                                     conf_thres=0.3, iou_thres=0.4,
+                                     max_nms=256)
+        return jax.lax.scan(body, None, images_k)[1]
+
+    qb, qk = 128, 32
+    q_imgs = jax.jit(lambda k: jax.random.randint(
+        k, (qk, qb, cfg.height, cfg.width, 3), 0, 255, jnp.uint8)
+    )(jax.random.PRNGKey(5))
+    q_imgs.block_until_ready()
+    jax.device_get(int8_chain(qw_, q_imgs, anchors)[1][-1, :1])  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(int8_chain(qw_, q_imgs, anchors)[1][-1, :1])
+        ts.append(time.perf_counter() - t0 - null_rtt)
+    print(json.dumps({"int8_img_s": round(qk * qb / max(min(ts), 1e-9),
+                                          1)}))
+
+
 def main():
+    # int8 section FIRST, in a fresh subprocess, BEFORE this process
+    # touches the device (see _int8_child_main).  Sequential, so the
+    # two processes never contend for the chip.
+    section_errors = {}
+    int8_img_s = None
+    _int8_art = os.environ.get(
+        "FASTDET_BENCH_INT8_ART",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "weights", "coco-int8.npz"))
+    if (os.environ.get("FASTDET_BENCH_INT8", "1") == "1"
+            and os.path.exists(_int8_art)):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--int8-child"],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get(
+                    "FASTDET_BENCH_INT8_TIMEOUT", "900")))
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    int8_img_s = json.loads(line)["int8_img_s"]
+                    break
+                except (json.JSONDecodeError, KeyError):
+                    continue
+            if int8_img_s is None:
+                section_errors["int8"] = (
+                    f"child rc={proc.returncode}: "
+                    + (proc.stderr or "")[-140:])
+        except Exception as e:  # noqa: BLE001 — secondary metric
+            section_errors["int8"] = repr(e)[:160]
+
     import jax
     import jax.numpy as jnp
 
@@ -218,8 +314,6 @@ def main():
     # (the dev relay's TPU worker has been observed to crash mid-run,
     # which poisons every subsequent device call in this process) nulls
     # that field, records the error, and the headline JSON still prints.
-    section_errors = {}
-
     def run_section(name, fn, enabled=True):
         if not enabled:
             return None
@@ -322,33 +416,8 @@ def main():
             adt = measure_af_xla()
         return round(ak * ab / adt, 1)
 
-    # int8 PTQ path throughput from a cli/quantize.py artifact (the
-    # quantized deploy mode; see docs/QUANT.md).  Skipped if no artifact.
-    int8_art = os.environ.get("FASTDET_BENCH_INT8_ART",
-                              os.path.join(repo, "weights",
-                                           "coco-int8.npz"))
-
-    def sec_int8():
-        from fastdet.quant import forward_from, load_quantized
-        qw_, qsc = load_quantized(int8_art)
-        fwd_q = forward_from(qw_, qsc)
-        qw_ = jax.tree.map(jnp.asarray, qw_)
-
-        @jax.jit
-        def int8_chain(weights, images_k, anchors_arg):
-            def body(_, im):
-                outs = list(fwd_q(im, weights))
-                return None, postprocess(outs, anchors_arg, hw,
-                                         conf_thres=0.3, iou_thres=0.4,
-                                         max_nms=256)
-            return jax.lax.scan(body, None, images_k)[1]
-
-        qb, qk = 128, 32
-        q_imgs = dev_randu8((qk, qb, cfg.height, cfg.width, 3), seed=5)
-        q_imgs.block_until_ready()
-        qdt = timed_min(lambda: int8_chain(qw_, q_imgs, anchors),
-                        lambda out: jax.device_get(out[1][-1, :1]), 3)
-        return round(qk * qb / qdt, 1)
+    # (int8 PTQ throughput was measured FIRST, in a fresh subprocess —
+    # see the top of main() and _int8_child_main.)
 
     # end-to-end serving rate: image FILES → native host decode + resize
     # + s2d pack → device fused detect → boxes on host.  The producer
@@ -374,16 +443,38 @@ def main():
             paths.append(p)
 
         e2e_batch = int(os.environ.get("FASTDET_BENCH_E2E_BATCH", "256"))
+        fast_decode = os.environ.get("FASTDET_BENCH_FAST_DECODE",
+                                     "0") == "1"
         pipe = FusedPipeline(variables, cfg, conf_thres=0.3, iou_thres=0.4,
-                             max_nms=256)
+                             max_nms=256, fast_decode=fast_decode)
         stream = StreamingPipeline(pipe, batch_size=e2e_batch)
 
-        # host preprocessing alone (decode+resize+pack, this host)
+        # host-state fields so the number is interpretable (VERDICT r3
+        # #6): cores available to this process, 1-min loadavg at section
+        # start (>~cores ⇒ the host was contended and host_pre_us_img
+        # reads high — the r3 run recorded 42 ms/img on a loaded host vs
+        # 9.3 ms/img/core quiet, docs/PERF.md §3)
+        host_cores = len(os.sched_getaffinity(0)) \
+            if hasattr(os, "sched_getaffinity") else os.cpu_count()
+        load1 = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+
+        # host preprocessing alone (decode+resize+pack, this host, all
+        # cores via the native preprocessor's OpenMP parallel-for)
         batch_paths = (paths * ((e2e_batch + 63) // 64))[:e2e_batch]
         pipe.preprocess_files(batch_paths)          # warm (file cache)
         t0 = time.perf_counter()
         pipe.preprocess_files(batch_paths)
         host_pre_us = (time.perf_counter() - t0) / e2e_batch * 1e6
+
+        # single-file preprocess cost = the 1-thread per-image cost the
+        # C×(1/cost) scaling model in docs/PERF.md §3 is built on (the
+        # OpenMP parallel-for has one file, hence one worker)
+        pipe.preprocess_files(paths[:1])
+        t0 = time.perf_counter()
+        reps_1t = 16
+        for i in range(reps_1t):
+            pipe.preprocess_files(paths[i % len(paths):][:1])
+        host_pre_1t_us = (time.perf_counter() - t0) / reps_1t * 1e6
 
         n_total = e2e_batch * int(os.environ.get("FASTDET_BENCH_E2E_K",
                                                  "6"))
@@ -393,12 +484,14 @@ def main():
         out = stream.run_files(all_paths)
         dt = time.perf_counter() - t0
         assert len(out) == n_total
-        return round(n_total / dt, 1), host_pre_us
+        return (round(n_total / dt, 1), host_pre_us, host_pre_1t_us,
+                host_cores, load1, fast_decode)
 
     _e2e = run_section(
         "e2e", sec_e2e,
         enabled=os.environ.get("FASTDET_BENCH_E2E", "1") == "1")
-    e2e_img_s, host_pre_us = _e2e if _e2e else (None, None)
+    (e2e_img_s, host_pre_us, host_pre_1t_us, host_cores, load1,
+     fast_decode) = _e2e if _e2e else (None,) * 6
 
     # training throughput (chained steps, on-chip): always measured —
     # the driver artifact must carry the framework's flagship training
@@ -446,16 +539,12 @@ def main():
         "train", sec_train,
         enabled=os.environ.get("FASTDET_BENCH_TRAIN", "1") == "1")
 
-    # The two newest device paths run LAST: a TPU-worker crash (observed
-    # on the dev relay with the post-int8 device state) then costs only
-    # these secondary fields, never the flagship serving/train numbers.
+    # The newest device path runs LAST: a TPU-worker crash then costs
+    # only this secondary field, never the flagship serving/train
+    # numbers.
     af_img_s = run_section(
         "anchorfree", sec_anchorfree,
         enabled=os.environ.get("FASTDET_BENCH_ANCHORFREE", "1") == "1")
-    int8_img_s = run_section(
-        "int8", sec_int8,
-        enabled=os.environ.get("FASTDET_BENCH_INT8", "1") == "1"
-        and os.path.exists(int8_art))
 
     result = {
         "metric": "fused_inference_images_per_sec_per_chip_352",
@@ -473,6 +562,11 @@ def main():
         "e2e_img_s": e2e_img_s,
         "host_pre_us_img": (round(host_pre_us, 1)
                             if host_pre_us is not None else None),
+        "host_pre_1t_us_img": (round(host_pre_1t_us, 1)
+                               if host_pre_1t_us is not None else None),
+        "host_cores": host_cores,
+        "host_load1": (round(load1, 2) if load1 is not None else None),
+        "fast_decode": fast_decode,
         "train_img_s": train_img_s,
         "kernel_path": "pallas_fused_transposed+s2d_stem",
         "input_format": "s2d_u8",
@@ -486,4 +580,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--int8-child" in sys.argv:
+        _int8_child_main()
+    else:
+        main()

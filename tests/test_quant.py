@@ -357,3 +357,49 @@ def test_int8_detections_match_f32(ref_variables, coco_cfg, golden_u8):
     ious = _greedy_match(a, b)
     assert len(ious) >= min(n_f, n_q) - 1
     assert all(i >= 0.7 for i in ious), ious
+
+
+def test_int8_scan_chain_program(tmp_path):
+    """Regression for the r3 bench TPU-worker crash: execute the exact
+    program shape bench.py's int8 section runs — a lax.scan chaining
+    int8 forwards + postprocess — end to end (VERDICT r3 #1).  Small
+    shapes; the point is the scan-over-quantized-chain structure, not
+    throughput."""
+    import jax
+
+    from fastdet.quant import (forward_from, load_quantized,
+                               save_quantized)
+
+    model = Detector(classes=4, anchor_num=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 96, 96, 3)), train=False)
+    folded = fold_model(variables)
+    calib = np.random.RandomState(0).randint(
+        0, 255, (4, 96, 96, 3), np.uint8)
+    scales = calibrate(folded, calib, batch=4)
+    qw = quantize_weights(folded)
+    art = os.path.join(tmp_path, "q.npz")
+    save_quantized(art, qw, scales)
+    qw2, sc2 = load_quantized(art)
+    fwd_q = forward_from(qw2, sc2)
+    qw2 = jax.tree.map(jnp.asarray, qw2)
+    anchors = jnp.asarray(
+        np.array([[10, 10], [20, 20], [40, 40],
+                  [60, 60], [80, 80], [90, 90]],
+                 np.float32).reshape(2, 3, 2))
+
+    @jax.jit
+    def int8_chain(weights, images_k, anchors_arg):
+        def body(_, im):
+            outs = list(fwd_q(im, weights))
+            return None, postprocess(outs, anchors_arg, (96, 96),
+                                     conf_thres=0.3, iou_thres=0.4,
+                                     max_nms=64)
+        return jax.lax.scan(body, None, images_k)[1]
+
+    imgs = jnp.asarray(np.random.RandomState(1).randint(
+        0, 255, (3, 2, 96, 96, 3), np.uint8))
+    dets, counts = int8_chain(qw2, imgs, anchors)
+    assert dets.shape[:2] == (3, 2)
+    assert counts.shape == (3, 2)
+    assert bool(jnp.all(jnp.isfinite(dets)))
