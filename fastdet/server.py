@@ -80,27 +80,46 @@ class DynamicBatcher:
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
                       "batch_hist": {}}
         self._closed = False
+        # orders submit's (check _closed, enqueue) against close's
+        # (set _closed, enqueue sentinel): without it a request could
+        # land BEHIND the sentinel and its caller would block forever
+        # on event.wait() (ADVICE r3)
+        self._close_lock = threading.Lock()
         self._worker_thread = threading.Thread(target=self._worker,
                                                daemon=True)
         self._worker_thread.start()
 
     def submit(self, item: Any) -> Any:
         """Block until `item`'s result is ready; re-raises infer errors."""
-        if self._closed:
-            raise RuntimeError("DynamicBatcher is closed")
         p = _Pending(item)
-        self._q.put(p)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._q.put(p)
         p.event.wait()
         if p.error is not None:
-            raise p.error
+            # per-caller instance: the same exception object raised
+            # concurrently in several waiter threads would have its
+            # __traceback__ mutated cross-thread (ADVICE r3)
+            e = p.error
+            try:
+                copy = type(e)(*e.args)
+            except Exception:  # noqa: BLE001 — exotic ctor: raise shared
+                copy = e
+            raise copy from e
         return p.result
 
     def close(self) -> None:
-        """Drain queued requests, then stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(_SENTINEL)
+        """Drain queued requests, then stop the worker.
+
+        The lock guarantees every request enqueued before the sentinel
+        is FIFO-ahead of it, so the worker processes all of them before
+        exiting; requests arriving after raise immediately."""
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(_SENTINEL)
         self._worker_thread.join()
 
     def _worker(self) -> None:
@@ -135,8 +154,8 @@ class DynamicBatcher:
             except BaseException as e:  # noqa: BLE001 — propagate to callers
                 for p in batch:
                     p.error = e
-            for p in batch:
-                p.event.set()
+            # stats BEFORE waking callers: a client reading /stats right
+            # after its own response must see its request counted
             s = self.stats
             s["requests"] += len(batch)
             s["batches"] += 1
@@ -144,6 +163,8 @@ class DynamicBatcher:
             hist = dict(s["batch_hist"])
             hist[str(len(batch))] = hist.get(str(len(batch)), 0) + 1
             s["batch_hist"] = hist
+            for p in batch:
+                p.event.set()
             if stop_after:
                 return
 

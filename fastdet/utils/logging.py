@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from typing import Any, Dict, Optional
 
@@ -25,13 +26,22 @@ class MetricsLogger:
             self._fh = open(path, "a")
             self.path = path
             if tensorboard:
-                # optional dependency: fall back to JSONL-only silently
+                # optional dependency: fall back to JSONL-only, but say
+                # so — the user explicitly asked for TB (ADVICE r3)
                 try:
                     from torch.utils.tensorboard import SummaryWriter
                     self._tb = SummaryWriter(
                         os.path.join(logdir, f"{run_name}_tb"))
-                except Exception:
+                except Exception as e:
                     self._tb = None
+                    print(f"[fastdet] tensorboard requested but "
+                          f"unavailable ({type(e).__name__}: {e}); "
+                          f"logging JSONL only", file=sys.stderr)
+                    self._fh.write(json.dumps(
+                        {"ts": time.time(), "kind": "meta",
+                         "tensorboard": False,
+                         "reason": repr(e)[:120]}) + "\n")
+                    self._fh.flush()
 
     def log(self, step: int, metrics: Dict[str, Any], kind: str = "train",
             echo: bool = False) -> None:

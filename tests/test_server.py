@@ -111,6 +111,38 @@ def test_batcher_close_rejects_new_submits():
         b.submit(8)
 
 
+def test_batcher_close_submit_race_never_hangs():
+    """ADVICE r3: a submit racing close() must either be served or
+    raise — never block forever behind the shutdown sentinel.  Hammer
+    the window with many threads closing mid-flight."""
+    import threading
+
+    from fastdet.server import DynamicBatcher
+
+    for _ in range(20):
+        b = DynamicBatcher(lambda xs: [x * 2 for x in xs],
+                           max_batch=4, max_wait_ms=0.5)
+        results = []
+
+        def caller(i):
+            try:
+                results.append(("ok", b.submit(i)))
+            except RuntimeError:
+                results.append(("closed", None))
+
+        threads = [threading.Thread(target=caller, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        b.close()
+        for t in threads:
+            t.join(timeout=10)
+            assert not t.is_alive(), "submit hung across close()"
+        assert len(results) == 8
+        for kind, v in results:
+            assert kind in ("ok", "closed")
+
+
 def test_bucket_padding_is_power_of_two():
     from fastdet.server import InferenceServer
     assert [InferenceServer._bucket(n) for n in (1, 2, 3, 4, 5, 8, 9, 31)] \
