@@ -26,13 +26,14 @@ wrapper passes the (k, 4) boxes twice — natural and transposed — and
 both validity vectors likewise; 8 KB/image of duplicated input buys a
 transpose-free kernel.
 
-k > 1024 (eval-grade NMS windows, max_nms=2048, reference cap 30k at
+k > 512 (eval-grade NMS windows, max_nms=2048, reference cap 30k at
 utils/utils.py:278-280) dispatches to the BLOCKED variant
 (`_suppress_kernel_tiled`): greedy NMS factors exactly over rank-ordered
 blocks — earlier blocks' final keep vectors pre-suppress later blocks
 via (1,T)×(T,T) matvecs, then the usual triangular fixpoint runs on the
-diagonal tile — so VMEM never holds more than a couple of (1024,1024)
-tiles no matter how wide the window.  Exact-equal to the XLA fixpoint
+diagonal tile — so VMEM never holds more than a couple of (512,512)
+tiles no matter how wide the window (the 16 MB scoped-VMEM limit of
+v5e-lite rejects 1024² tiling at compile time).  Exact-equal to the XLA fixpoint
 (pinned by tests), closing the one window class that previously had to
 fall back to XLA.
 """
@@ -183,7 +184,7 @@ def _suppress_kernel_tiled(obt_ref, obc_ref, sct_ref, scc_ref, o_ref, *,
 
 
 def _suppress_call_tiled(obt, obc, sct, scc, *, iou_thres, interpret,
-                         tile=1024):
+                         tile=512):
     """Pad k to a multiple of `tile` (zero-area invalid candidates are
     inert) and run the blocked kernel, one image per program."""
     b, _, k = obt.shape
@@ -235,9 +236,13 @@ def suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k, *, iou_thres,
     sct = sc[:, None, :]                                  # (B,1,k)
     scc = sc[..., None]                                   # (B,k,1)
 
-    if k > 1024:
-        # one (k,k) matrix would outgrow VMEM: blocked kernel, (T,T)
-        # tiles of the overlap matrix (eval-grade windows, VERDICT r2 #6)
+    if k > 512:
+        # one (k,k) matrix would outgrow scoped VMEM: blocked kernel,
+        # (T,T) tiles of the overlap matrix (eval-grade windows, VERDICT
+        # r2 #6).  T=512 keeps the per-program stack ≈5× under the 16 MB
+        # scoped-VMEM limit of v5e-lite — T=1024 (4 MB tiles and several
+        # live iou temporaries) measured 16.7 MB and faulted the compile
+        # on real hardware (r4 eval-CLI OOM).
         keep_f = _suppress_call_tiled(obt, obc, sct, scc,
                                       iou_thres=iou_thres,
                                       interpret=interpret)

@@ -76,6 +76,56 @@ def _metrics_line(stdout):
 
 
 @requires_reference
+def test_derived_val_100_metrics_pinned(tmp_path):
+    """Default-suite mAP-evidence bridge (VERDICT r3 #5): regenerate the
+    100-image derived val set, verify it is byte-identical to the
+    committed artifact (manifest md5), run OUR eval CLI on it, and pin
+    its printed P/R/AP/F1 to the REFERENCE CLI's recorded metrics
+    (tests/data/derived_val_100.json, both CLIs measured equal at
+    generation time).  Every round re-proves the full chain — config,
+    dataset, forward, decode, NMS, metrics — against the frozen
+    reference numbers without paying the reference-subprocess cost."""
+    import hashlib
+    import json
+
+    art = json.load(open(os.path.join(
+        os.path.dirname(__file__), "data", "derived_val_100.json")))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+
+    out = str(tmp_path / "dv100")
+    gen = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_derived_val.py"),
+         "--out", out, "--count", "100"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert gen.returncode == 0, gen.stderr[-3000:]
+
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    digest = hashlib.md5(
+        json.dumps(manifest, sort_keys=True).encode()).hexdigest()
+    assert digest == art["manifest_md5"], (
+        "derived val set no longer regenerates byte-identically — "
+        "re-record tests/data/derived_val_100.json with both CLIs")
+
+    ours = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "evaluation.py"),
+         "--data", os.path.join(out, "derived.data"),
+         "--weights", os.path.join(REPO, "weights", "coco2017-ref.npz")],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
+    assert ours.returncode == 0, (ours.stdout + ours.stderr)[-4000:]
+    our_metrics = _metrics_line(ours.stdout)
+
+    ref = art["reference_cli"]
+    np.testing.assert_allclose(
+        our_metrics,
+        (ref["precision"], ref["recall"], ref["ap"], ref["f1"]),
+        atol=2e-6,
+        err_msg=f"ours={our_metrics} vs recorded reference={ref}")
+
+
+@requires_reference
 @pytest.mark.slow
 def test_reference_and_fastdet_eval_cli_agree(tmp_path):
     env = dict(os.environ)
