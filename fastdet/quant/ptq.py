@@ -11,10 +11,15 @@ each conv runs as an integer contraction:
     outlier-robust percentile clip of the |x| histogram (p99.99;
     the role of ncnn's calibration-table step), optionally plain
     max-|x| (`calibrate(method=...)`);
-  * pointwise convs contract int8×int8 → int32 via `lax.dot_general`
-    with `preferred_element_type=int32` — on TPU this is the MXU's
-    native integer matmul; depthwise and the 3×3 stem conv accumulate
-    int32 tap products (VPU work either way);
+  * pointwise convs contract the int8 operands on the MXU; the MAC
+    unit is selectable (`QuantOps(mac=...)`): "bf16" (default) casts
+    the int8 operands to bf16 and accumulates f32 — bitwise equal to
+    int32 accumulation for this net's contraction widths, and stable
+    on the axon-relay v5e where the native int8×int8→int32
+    `preferred_element_type` lowering intermittently faults the TPU
+    worker (see the QuantOps docstring); "int32" keeps the native
+    integer matmul.  Depthwise and the 3×3 stem conv accumulate tap
+    products elementwise (VPU work either way);
   * between ops the int32 accumulator is rescaled to f32
     (`y = acc · s_x·s_w + b`), ReLU'd, and re-quantized by the next
     op's calibrated scale — the standard dequant/requant PTQ
@@ -142,18 +147,38 @@ def _quant_in(x, scale):
 
 class QuantOps:
     """int8 ops: per-tensor activation scales (calibrated), per-channel
-    weight scales, int32 accumulation.
+    weight scales, integer-exact accumulation.
 
     `float_names`: ops run in f32 on the DEQUANTIZED weights (wq·sw —
     within ½ quant step of the folded f32 kernel) with no activation
     quantization — the mixed-precision escape hatch for layers whose
-    activation quantization hurts (e.g. the output logit convs)."""
+    activation quantization hurts (e.g. the output logit convs).
+
+    `mac`: which functional unit carries the int8 contractions.
+      * "bf16" (default): int8 operands cast to bf16, MXU matmul with
+        f32 accumulation.  BITWISE EQUAL to int32 accumulation for this
+        net: ±127 operands are exact in bf16, each product (≤127²) is
+        exact in the f32 multiply, and every partial sum stays an
+        integer < 2²⁴ (widest contraction here is K=192 taps×channels →
+        |acc| ≤ 192·127² ≈ 3.1M), so f32 adds never round.  Pinned
+        equal to the int32 path by tests/test_quant.py.
+      * "int32": int8×int8→int32 `preferred_element_type` dot_generals
+        — the MXU's native integer matmul.  On the axon-relay v5e this
+        lowering intermittently FAULTS the TPU worker process
+        ("UNAVAILABLE: TPU worker process crashed", r3/r4 bench + 8
+        isolated repros, while the same program passes occasionally);
+        plain int8 dot chains in isolation are stable, so the fault
+        needs the full conv graph around it.  Kept for parity testing
+        on CPU and for platforms where the native path is sound."""
 
     def __init__(self, qw, scales: Dict[str, float],
-                 float_names=frozenset()):
+                 float_names=frozenset(), mac: str = "bf16"):
+        if mac not in ("bf16", "int32"):
+            raise ValueError(f"unknown mac {mac!r}")
         self.qw = qw
         self.scales = scales
         self.float_names = frozenset(float_names)
+        self.mac = mac
 
     def _deq(self, q):
         return q["wq"].astype(jnp.float32) * q["sw"]
@@ -172,8 +197,11 @@ class QuantOps:
         xq = _quant_in(x, sx)
         kh, kw = q["wq"].shape[:2]
         ph, pw_ = kh // 2, kw // 2
+        # operand dtypes per MAC unit (see class docstring; both exact)
+        in_t, acc_t = ((jnp.bfloat16, jnp.float32) if self.mac == "bf16"
+                       else (jnp.int32, jnp.int32))
         xp = jnp.pad(xq, ((0, 0), (ph, ph), (pw_, pw_), (0, 0))
-                     ).astype(jnp.int32)
+                     ).astype(in_t)
         oh = (x.shape[1] + 2 * ph - kh) // stride + 1
         ow = (x.shape[2] + 2 * pw_ - kw) // stride + 1
         acc = None
@@ -181,13 +209,14 @@ class QuantOps:
             for dx in range(kw):
                 sl = xp[:, dy:dy + stride * oh:stride,
                         dx:dx + stride * ow:stride, :]
-                wq_t = q["wq"][dy, dx].astype(jnp.int32)   # (Cin/g, Cout)
+                wq_t = q["wq"][dy, dx].astype(in_t)        # (Cin/g, Cout)
                 if groups == 1:
                     t = lax.dot_general(
                         sl, wq_t, (((3,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
+                        preferred_element_type=acc_t)
                 else:                                      # depthwise
-                    t = sl * wq_t[0][None, None, None, :]
+                    t = (sl.astype(acc_t)
+                         * wq_t[0].astype(acc_t)[None, None, None, :])
                 acc = t if acc is None else acc + t
         y = acc.astype(jnp.float32) * (sx * q["sw"]) + q["b"]
         return jnp.maximum(y, 0.0) if relu else y
@@ -206,9 +235,11 @@ class QuantOps:
             return jnp.maximum(y, 0.0) if relu else y
         sx = self.scales[name]
         xq = _quant_in(x, sx)
-        y = lax.dot_general(xq, q["wq"][0, 0],
+        in_t, acc_t = ((jnp.bfloat16, jnp.float32) if self.mac == "bf16"
+                       else (jnp.int8, jnp.int32))
+        y = lax.dot_general(xq.astype(in_t), q["wq"][0, 0].astype(in_t),
                             (((x.ndim - 1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+                            preferred_element_type=acc_t)
         y = y.astype(jnp.float32) * (sx * q["sw"]) + q["b"]
         return jnp.maximum(y, 0.0) if relu else y
 
@@ -425,7 +456,8 @@ def build_int8_forward(variables: dict, calib_images_u8,
     return forward_from(qw, scales), scales
 
 
-def forward_from(qw, scales: Dict[str, float]) -> Callable:
+def forward_from(qw, scales: Dict[str, float],
+                 mac: str = "bf16") -> Callable:
     """Int8 forward from already-quantized weights + activation scales.
 
     The returned `forward(images_u8, weights=None)` takes the quantized
@@ -441,7 +473,7 @@ def forward_from(qw, scales: Dict[str, float]) -> Callable:
     def forward(images_u8, weights=None):
         return fwd(
             images_u8, QuantOps(qdev if weights is None else weights,
-                                scales))
+                                scales, mac=mac))
 
     return forward
 

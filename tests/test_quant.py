@@ -403,3 +403,25 @@ def test_int8_scan_chain_program(tmp_path):
     assert dets.shape[:2] == (3, 2)
     assert counts.shape == (3, 2)
     assert bool(jnp.all(jnp.isfinite(dets)))
+
+
+def test_mac_bf16_bitwise_equals_int32(ref_variables):
+    """The two MAC units of the int8 path (QuantOps mac="bf16" vs
+    "int32") are BITWISE equal: ±127 operands are bf16-exact, products
+    are exact in the f32 multiply, and every partial sum stays an
+    integer < 2²⁴ (see the QuantOps docstring).  bf16 is the default —
+    the native int8 dot_general lowering intermittently faults the
+    axon-relay v5e TPU worker (r3/r4 bench crashes) — so this pin is
+    what licenses calling the default path int8-exact."""
+    from fastdet.quant import forward_from, load_quantized
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qw, sc = load_quantized(os.path.join(repo, "weights",
+                                         "coco-int8.npz"))
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randint(0, 255, (2, 352, 352, 3), np.uint8))
+    out_b = forward_from(qw, sc, mac="bf16")(img)
+    out_i = forward_from(qw, sc, mac="int32")(img)
+    for i, (a, b) in enumerate(zip(out_b, out_i)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"output {i}")
