@@ -37,7 +37,7 @@ def postprocess_dense(outputs, anchors, input_hw, *, conf_thres=0.3,
 
 def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
                 iou_thres=0.45, max_det=300, max_nms=1024,
-                nms_kernel=None):
+                nms_kernel=None, _upto=None):
     """Decode + NMS on a raw 6-tuple of head outputs — top-k-first.
 
     Equal output to `postprocess_dense` (the reference chain,
@@ -67,6 +67,12 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     noise of the XLA fixpoint at serving windows, kept as the TPU
     default for VMEM residency/scheduling isolation — see that module's
     header); None → auto (True on the TPU backend).
+
+    _upto: perf-diagnostic truncation (tools/pp_breakdown.py), mirroring
+    build_fused_forward's `upto`: "scores" returns after the per-scale
+    score/argmax flattening, "sorted" after the ranking sort, "decoded"
+    after box decode, "keep" after the NMS keep mask (before
+    compaction); None runs the full function.
     """
     num_scales = len(outputs) // 3
     b = outputs[0].shape[0]
@@ -97,6 +103,8 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
 
     valid = (obj_f > conf_thres) & (score > conf_thres)
     ranked = jnp.where(valid, score, -1.0)
+    if _upto == "scores":
+        return ranked, reg_f, cls_f
     iota = jnp.broadcast_to(
         lax.broadcasted_iota(jnp.int32, (1, n), 1), ranked.shape)
     neg_s, order, cls_s, r0, r1, r2, r3 = lax.sort(
@@ -107,6 +115,8 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     order = order[:, :k]
     cls_k = cls_s[:, :k]
     reg_k = jnp.stack([r0[:, :k], r1[:, :k], r2[:, :k], r3[:, :k]], axis=-1)
+    if _upto == "sorted":
+        return score_k, order, cls_k, reg_k
 
     # flat index → (cell x, cell y, stride, anchor row) per candidate
     cx = jnp.zeros_like(score_k)
@@ -131,6 +141,13 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     wh = (sig[..., 2:4] * 2.0) ** 2 * awh
     boxes_k = xywh2xyxy(jnp.concatenate([xy, wh], axis=-1))
     valid_k = score_k > 0
+    if _upto == "decoded":
+        return boxes_k, score_k, cls_k
+
+    if _upto == "keep":
+        from fastdet.kernels.nms_kernel import keep_mask_batch
+        return keep_mask_batch(boxes_k, score_k, cls_k, valid_k,
+                               iou_thres=iou_thres)
 
     if nms_kernel is None:
         # serving windows (k ≤ 1024) run the single-tile kernel; larger

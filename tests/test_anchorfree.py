@@ -251,6 +251,64 @@ def test_cli_eval_fused_anchorfree_smoke(tmp_path):
         r"Precision:[\d.]+ Recall:[\d.]+ AP:[\d.]+ F1:[\d.]+", r.stdout)
 
 
+def test_af_golden_detections():
+    """Hard accuracy pin (VERDICT r3 #7): the committed TRAINED
+    anchor-free checkpoint (weights/anchorfree-synth.npz, produced by
+    tools/convergence_check.py --model anchorfree --save) + a
+    deterministic synthetic-task image → the committed detections
+    artifact (tests/data/anchorfree_golden.json, written by
+    tools/make_af_golden.py).  Any numeric drift in the anchor-free
+    forward, decode, or NMS fails here — the family's equivalent of the
+    yolo golden-image pin
+    (tests/test_postprocess.py::test_golden_image_detections)."""
+    import json
+    import os
+
+    from tools.make_af_golden import golden_image
+    from fastdet.io.torch_convert import load_npz_variables
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "tests", "data",
+                           "anchorfree_golden.json")) as f:
+        golden = json.load(f)
+
+    model = AnchorFreeDetector(classes=3)
+    variables = jax.tree.map(jnp.asarray, load_npz_variables(
+        os.path.join(repo, golden["weights"])))
+    img, _ = golden_image()
+    size = golden["size"]
+    detect = build_anchorfree_detect_fn(
+        model, (size, size), conf_thres=golden["conf_thres"],
+        iou_thres=golden["iou_thres"], max_nms=golden["max_nms"])
+    dets, counts = detect(variables, jnp.asarray(img[None]))
+
+    n = int(counts[0])
+    want = np.asarray(golden["detections"], np.float32)
+    got = np.asarray(dets[0, :n])
+    assert abs(n - golden["count"]) <= 1, (n, golden["count"])
+
+    def match(row, pool):
+        """row has a counterpart in pool: same class, close box+score.
+        Tolerances sized well above cross-process CPU conv jitter
+        (~1e-3) while far below any real numeric change in
+        forward/decode/NMS."""
+        same = pool[pool[:, 5] == row[5]]
+        if not len(same):
+            return False
+        d = np.abs(same[:, :4] - row[:4]).max(1)
+        ds = np.abs(same[:, 4] - row[4])
+        return bool(((d < 0.5) & (ds < 0.02)).any())
+
+    # hysteresis pin: every artifact detection comfortably above the
+    # 0.3 serving cut must reappear; every confident new detection must
+    # have been in the artifact — boundary-jitter detections (score in
+    # [0.30, 0.32)) are allowed to flicker, nothing else is
+    for row in want[want[:, 4] >= 0.32]:
+        assert match(row, got), f"pinned detection lost: {row}"
+    for row in got[got[:, 4] >= 0.35]:
+        assert match(row, want), f"unpinned new detection: {row}"
+
+
 def test_training_reduces_loss():
     """A few SGD steps on a fixed batch reduce the anchor-free loss."""
     import optax

@@ -49,6 +49,10 @@ def main():
                     help="fuse K train steps into one device program")
     ap.add_argument("--model", type=str, default="yolo-fastestv2",
                     help="model family: yolo-fastestv2 | anchorfree")
+    ap.add_argument("--save", type=str, default="",
+                    help="save the final trained variables to this .npz "
+                         "(the committed weights/anchorfree-synth.npz "
+                         "artifact is produced this way)")
     args = ap.parse_args()
 
     import jax
@@ -138,6 +142,12 @@ def main():
           f"({args.steps * args.batch / dt:.0f} img/s)", flush=True)
     print("AP curve:", [round(a, 4) for a in aps], flush=True)
     ok = aps[-1] > 0.5 and aps[-1] > aps[0]
+    if args.save:
+        from fastdet.io.torch_convert import save_npz_variables
+        save_npz_variables(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}, args.save)
+        print(f"saved {args.save}", flush=True)
     print("CONVERGENCE", "OK" if ok else "FAILED", flush=True)
     sys.exit(0 if ok else 1)
 
