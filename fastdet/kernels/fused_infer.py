@@ -479,6 +479,160 @@ def _stem_call_chunked(xt, w96, b96, h, w, dtype, interpret):
     return kept.transpose(0, 2, 1, 3).reshape(b, 24, hw)
 
 
+# --------------------------------------------- phase-packed stem (s2d8)
+#
+# The whole-backbone future step named by the fuse_s2 note: the stem
+# emitted PHASE-PACKED, so stage 2's fused stride-2+span program starts
+# straight from the stem's output with no phase-split permute (the 6-D
+# transpose that made fuse_s2 a net loss).  The recipe is the s2d trick
+# one level deeper: host packs s2d(8) — lanes are the (H/8, W/8) grid,
+# 8·8·3 = 192 channels — and the kernel computes all SIXTEEN conv
+# output phases (conv grid H/2 = 4 phases per coarse cell per axis) as
+# one (384, 4·192) @ (4·192, N) matmul, then folds the 3×3 s2 maxpool
+# across conv phases (coarse rolls only at the py=0 / px=0 edges) into
+# the four POOLED phases (py, px) ∈ {0,1}² of the (H/4, W/4) grid.
+# Output (B, 4·24, pad128(H/8·W/8)) = exactly `_s2span_call`'s
+# phase-major stage-2 input: phase p = (y%2)·2 + (x%2), lanes the
+# stride-2 span grid.  No padding step is needed either: pad lanes
+# carry finite junk that the prologue/span masks and non-positive tap
+# offsets keep out of every valid lane.
+#
+# Deeper-K bonus: K grows 192 → 768 (denser MXU work per output) and
+# the written activation volume halves (96 rows × N/4 lanes vs 24 × N).
+
+_STEM8_LANE_BUDGET = 2048   # lanes/program; ~5.5 kB VMEM per lane
+
+
+def pack_stem_s2d8(stem_w: np.ndarray, stem_b: np.ndarray,
+                   scale: float = 1.0 / 255.0):
+    """Fold the (3,3,3,24) stem conv (+ input scale) into 16-phase
+    matmul form for the s2d(8) layout.
+
+    Returns (W (768, 384), bias (384,)): W columns are 16 conv output
+    phase slabs (qy·4+qx major) × 24 channels; rows are tap-major
+    (du,dv) ∈ {-1,0}² × 192 s2d(8) channels (yoff·24 + xoff·3 + c)."""
+    w = np.zeros((768, 384), np.float32)
+    b = np.zeros((384,), np.float32)
+    for qy in range(4):
+        for qx in range(4):
+            ph = qy * 4 + qx
+            b[ph * 24:(ph + 1) * 24] = stem_b
+            for ky in range(3):
+                v = 2 * qy + ky - 1
+                du, yoff = (-1, 7) if v < 0 else (0, v)
+                for kx in range(3):
+                    u = 2 * qx + kx - 1
+                    dv, xoff = (-1, 7) if u < 0 else (0, u)
+                    t = _STEM_TAPS.index((du, dv))
+                    for c in range(3):
+                        w[t * 192 + yoff * 24 + xoff * 3 + c,
+                          ph * 24:(ph + 1) * 24] = stem_w[ky, kx, c] * scale
+    return w, b
+
+
+def pack_images_s2d8(images):
+    """(B, H, W, 3) uint8 → (B, 192, pad128(H/8·W/8)) uint8 s2d(8)."""
+    xp = np if isinstance(images, np.ndarray) else jnp
+    b, ih, iw, _ = images.shape
+    h, w = ih // 8, iw // 8
+    hw = h * w
+    npad = ((hw + 127) // 128) * 128
+    x = images.reshape(b, h, 8, w, 8, 3)
+    x = x.transpose(0, 2, 4, 5, 1, 3).reshape(b, 192, hw)
+    return xp.pad(x, ((0, 0), (0, 0), (0, npad - hw)))
+
+
+def _stem8_body(x, w: int, w_ref, b_ref, dtype, interpret: bool):
+    """x (192, n) uint8 s2d(8) planes → phase-packed pooled (96, n)
+    dtype; lanes the (rows, w) stride-8 coarse grid."""
+    n = x.shape[-1]
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    col = lane % w
+    row = lane // w
+
+    if interpret:
+        xb = x.astype(dtype)
+        xp = xb
+        packed = False
+    else:
+        xb = x.astype(jnp.int32).astype(jnp.float32).astype(dtype)
+        packed = dtype == jnp.bfloat16
+        xp = pltpu.bitcast(xb, jnp.float32) if packed else xb
+    taps = []
+    for (du, dv) in _STEM_TAPS:
+        off = du * w + dv
+        sh = pltpu.roll(xp, (-off) % n, 1)
+        valid = (col + dv >= 0) & (row + du >= 0)
+        taps.append(jnp.where(valid, sh,
+                              jnp.asarray(0, sh.dtype)))
+    stack = jnp.concatenate(taps, 0)
+    if packed:
+        stack = pltpu.bitcast(stack, dtype)          # (768, n)
+    else:
+        stack = stack.astype(dtype)
+
+    z = lax.dot_general(w_ref[...], stack, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    y = jnp.maximum(z + b_ref[...][:, None], 0.0)    # (384, n) f32
+    yb = y.astype(dtype)
+
+    neg = jnp.asarray(-jnp.inf, dtype)
+
+    def proll(a, shift):
+        if interpret or dtype == jnp.float32:
+            return pltpu.roll(a, shift, 1)
+        pk = pltpu.bitcast(a, jnp.float32)
+        return pltpu.bitcast(pltpu.roll(pk, shift, 1), dtype)
+
+    ph = [yb[q * 24:(q + 1) * 24] for q in range(16)]  # q = qy·4 + qx
+    # column reduce: pooled col phase px gathers conv cols 2S+px+dx,
+    # i.e. qx ∈ {3@S-1, 0, 1} for px=0 (left roll, -inf at S=0) and
+    # qx ∈ {1, 2, 3} for px=1 (roll-free)
+    cmax = {}
+    for qy in range(4):
+        p0, p1, p2, p3 = ph[4 * qy:4 * qy + 4]
+        left = jnp.where(col >= 1, proll(p3, 1), neg)
+        cmax[(qy, 0)] = jnp.maximum(jnp.maximum(p0, p1), left)
+        cmax[(qy, 1)] = jnp.maximum(jnp.maximum(p1, p2), p3)
+    # row reduce: same pattern one axis up; output phase-major (py,px)
+    out = []
+    for py in range(2):
+        for px in range(2):
+            if py == 0:
+                up = jnp.where(row >= 1, proll(cmax[(3, px)], w), neg)
+                r = jnp.maximum(jnp.maximum(cmax[(0, px)], cmax[(1, px)]),
+                                up)
+            else:
+                r = jnp.maximum(jnp.maximum(cmax[(1, px)], cmax[(2, px)]),
+                                cmax[(3, px)])
+            out.append(r)
+    return jnp.concatenate(out, 0).astype(dtype)     # (96, n)
+
+
+def _stem8_kernel(x_ref, w_ref, b_ref, o_ref, *, w: int, dtype,
+                  interpret: bool):
+    """One whole image per program: (1, 192, npad) u8 → (1, 96, npad)."""
+    o_ref[0] = _stem8_body(x_ref[0], w, w_ref, b_ref, dtype, interpret)
+
+
+def _stem8_call(xt, w768, b384, h, w, dtype, interpret):
+    b, _, npad = xt.shape
+    kern = functools.partial(_stem8_kernel, w=w, dtype=dtype,
+                             interpret=interpret)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 192, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 96, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 96, npad), dtype),
+        interpret=interpret,
+    )(xt, w768, b384)
+
+
 # ------------------------------------------------------------ XLA pieces
 
 def _conv(x, w, stride, groups=1):
@@ -603,10 +757,18 @@ def build_fused_forward(variables: dict,
     therefore False; the path is kept numerically verified (parity
     tests) as the starting point for a future whole-backbone single
     program (which would also need the stem emitted phase-packed)."""
-    if input_format not in ("nhwc", "s2d_u8"):
+    if input_format not in ("nhwc", "s2d_u8", "s2d8_u8"):
         raise ValueError(f"unknown input_format {input_format!r}")
     if head not in ("yolo", "anchorfree"):
         raise ValueError(f"unknown head {head!r}")
+    if input_format == "s2d8_u8":
+        h8, w8 = input_hw[0] // 8, input_hw[1] // 8
+        if (input_hw[0] % 8 or input_hw[1] % 8
+                or (h8 * w8 + 127) // 128 * 128 > _STEM8_LANE_BUDGET):
+            raise ValueError(
+                "s2d8_u8 needs H,W divisible by 8 and "
+                f"pad128(H/8·W/8) ≤ {_STEM8_LANE_BUDGET} lanes "
+                f"(got {input_hw}); use s2d_u8 for larger inputs")
     # whole-image stem programs hold ~1.2 kB VMEM per lane; larger
     # inputs (640² → 25600 lanes) go through the row-chunked stem
     stem_chunked = input_format == "s2d_u8" and \
@@ -619,6 +781,11 @@ def build_fused_forward(variables: dict,
                                np.asarray(pk["stem_b"], np.float32))
     pk["stem_w96"] = sw96
     pk["stem_b96"] = sb96
+    if input_format == "s2d8_u8":
+        sw8, sb8 = pack_stem_s2d8(np.asarray(pk["stem_w"], np.float32),
+                                  np.asarray(pk["stem_b"], np.float32))
+        pk["stem_w768"] = sw8
+        pk["stem_b384"] = sb8
     packed = {k: jnp.asarray(v, dtype if np.asarray(v).ndim > 1
                              else jnp.float32) for k, v in pk.items()}
     ih, iw = input_hw
@@ -649,12 +816,49 @@ def build_fused_forward(variables: dict,
             return x.reshape(b, hw4, 24).transpose(0, 2, 1)
         return x
 
-    def forward_xla_s2(images, p):
-        """Round-2 path: XLA stride-2 blocks, NHWC between stages."""
-        x = stem(images, p, want_transposed=False)
-        if upto == "stem":
-            return x
+    def stem8_stage2(images, p):
+        """Phase-packed stem + fused stride-2+span stage 2 — no
+        phase-split permute, no padding pass.  → (B, 48, nimg2)
+        transposed on the stage-2 span grid (pad lanes junk-but-
+        finite; every consumer masks or slices them)."""
         b = images.shape[0]
+        h, w = h4 // 2, w4 // 2
+        nimg = ((h * w + 127) // 128) * 128
+        pp = _stem8_call(images, p["stem_w768"], p["stem_b384"],
+                         h, w, dtype, interpret)      # (B, 96, nimg)
+        g = _pick_group(b, nimg, 48, _LANE_BUDGET_S2)
+        xp = pp.reshape(b // g, g, 96, nimg)
+        xp = xp.transpose(0, 2, 1, 3).reshape(b // g, 96, g * nimg)
+        ws = ([p[f"s2_0f_{nm}"]
+               for nm in ("wa", "ba", "wc", "bc", "wp", "bp")]
+              + [p[f"s2_{i}_{nm}"] for i in range(1, _STAGES[0][1])
+                 for nm in ("wa", "ba", "wc", "bc")])
+        xt = _s2span_call(xp, ws, _STAGES[0][1] - 1, h, w, nimg, 24, 48,
+                          dtype, interpret)
+        xu = xt.reshape(b // g, 48, g, nimg).transpose(0, 2, 1, 3)
+        return xu.reshape(b, 48, nimg)
+
+    def stem8_nhwc(images, p):
+        """Diagnostic phase-unpack of the s2d8 stem (upto='stem')."""
+        b = images.shape[0]
+        h, w = h4 // 2, w4 // 2
+        pp = _stem8_call(images, p["stem_w768"], p["stem_b384"],
+                         h, w, dtype, interpret)[:, :, :h * w]
+        x6 = pp.reshape(b, 2, 2, 24, h, w)
+        return x6.transpose(0, 4, 1, 5, 2, 3).reshape(b, h4, w4, 24)
+
+    def forward_xla_s2(images, p):
+        """Round-2 path: XLA stride-2 blocks, NHWC between stages (for
+        s2d8 input, stage 2 runs stem-direct as one fused program)."""
+        b = images.shape[0]
+        if input_format == "s2d8_u8":
+            if upto == "stem":
+                return stem8_nhwc(images, p)
+            x = None
+        else:
+            x = stem(images, p, want_transposed=False)
+            if upto == "stem":
+                return x
         h, w = h4, w4
         cin = 24
         feats = {}
@@ -662,21 +866,27 @@ def build_fused_forward(variables: dict,
             h, w = h // 2, w // 2
             hw = h * w
             nimg = ((hw + 127) // 128) * 128
-            g = _pick_group(b, nimg, c)
-            x = _s2_block_xla(x, p, f"s{sid}_0", cin, c, dtype)
-            # pack: (B,h,w,C) -> (B//g, C, g*nimg), zero-padded lanes
-            xt = x.reshape(b, hw, c)
-            xt = jnp.pad(xt, ((0, 0), (0, nimg - hw), (0, 0)))
-            xt = xt.transpose(0, 2, 1).reshape(b // g, g, c, nimg)
-            xt = xt.transpose(0, 2, 1, 3).reshape(b // g, c, g * nimg)
-            ws = [p[f"s{sid}_{i}_{nm}"] for i in range(1, reps)
-                  for nm in ("wa", "ba", "wc", "bc")]
-            xt = _span_call(xt, ws, reps - 1, h, w, nimg, c, dtype,
-                            interpret)
-            # unpack to NHWC for the next stride-2 block / FPN
-            xu = xt.reshape(b // g, c, g, nimg).transpose(0, 2, 1, 3)
-            xu = xu.reshape(b, c, nimg)[:, :, :hw].transpose(0, 2, 1)
-            x = xu.reshape(b, h, w, c)
+            if sid == 2 and input_format == "s2d8_u8":
+                xt2 = stem8_stage2(images, p)        # (B, 48, nimg)
+                x = (xt2[:, :, :hw].transpose(0, 2, 1)
+                     .reshape(b, h, w, c))
+            else:
+                g = _pick_group(b, nimg, c)
+                x = _s2_block_xla(x, p, f"s{sid}_0", cin, c, dtype)
+                # pack: (B,h,w,C) -> (B//g, C, g*nimg), zero-pad lanes
+                xt = x.reshape(b, hw, c)
+                xt = jnp.pad(xt, ((0, 0), (0, nimg - hw), (0, 0)))
+                xt = xt.transpose(0, 2, 1).reshape(b // g, g, c, nimg)
+                xt = xt.transpose(0, 2, 1, 3).reshape(b // g, c,
+                                                      g * nimg)
+                ws = [p[f"s{sid}_{i}_{nm}"] for i in range(1, reps)
+                      for nm in ("wa", "ba", "wc", "bc")]
+                xt = _span_call(xt, ws, reps - 1, h, w, nimg, c, dtype,
+                                interpret)
+                # unpack to NHWC for the next stride-2 block / FPN
+                xu = xt.reshape(b // g, c, g, nimg).transpose(0, 2, 1, 3)
+                xu = xu.reshape(b, c, nimg)[:, :, :hw].transpose(0, 2, 1)
+                x = xu.reshape(b, h, w, c)
             feats[sid] = x
             cin = c
             if upto == f"s{sid}":
@@ -688,9 +898,14 @@ def build_fused_forward(variables: dict,
         across stage boundaries (a phase-split permute replaces the
         NHWC round-trip + XLA stride-2 block)."""
         if upto == "stem":
-            return stem(images, p, want_transposed=False)
+            return (stem8_nhwc(images, p)
+                    if input_format == "s2d8_u8"
+                    else stem(images, p, want_transposed=False))
         b = images.shape[0]
-        xt_full = stem(images, p, want_transposed=True)  # (B, 24, hw)
+        if input_format == "s2d8_u8":
+            xt_full = None          # stage 2 runs stem-direct below
+        else:
+            xt_full = stem(images, p, want_transposed=True)  # (B,24,hw)
         h, w = h4, w4
         cin = 24
         feats = {}
@@ -698,6 +913,13 @@ def build_fused_forward(variables: dict,
             h, w = h // 2, w // 2
             hw = h * w
             nimg = ((hw + 127) // 128) * 128
+            if sid == 2 and input_format == "s2d8_u8":
+                xt_full = stem8_stage2(images, p)[:, :, :hw]
+                cin = c
+                if upto == "s2":
+                    return (xt_full.transpose(0, 2, 1)
+                            .reshape(b, h, w, c))
+                continue
             g = _pick_group(b, nimg, c, _LANE_BUDGET_S2)
             # phase-split: (B, cin, 2h·2w) → (B, 4·cin, hw), phase-major
             xp = xt_full.reshape(b, cin, h, 2, w, 2)

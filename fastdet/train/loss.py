@@ -13,6 +13,25 @@ Numeric parity with the reference (/root/reference/utils/loss.py:130-208):
 
 All gathers/scatters are over fixed (B, M, A, O) candidate tensors with
 masked reductions, so the whole thing jits into one XLA program.
+
+Gather/scatter-free formulation (round 4): XLA lowers `x.at[idx].max()`
+and the VJP of advanced-index gathers to *serialized* per-update scatter
+loops on TPU — measured at ~21 µs/img for targets+loss alone (b128),
+2.7 ms/step, dwarfing the network forward.  Since the candidate count
+(M·O = 40 cells/image) and the grids (≤22²·3 slots) are tiny, every
+indexed access is instead expressed densely:
+
+  * candidate-cell gathers  → one-hot (MO, HW) matmul against the
+    flattened feature map — MXU work whose transpose (the VJP) is
+    another matmul, not a scatter-add;
+  * the tobj scatter-max    → a broadcast compare + any-reduce of
+    packed (cell·A + a) keys against the grid's iota (no gradient
+    flows through tobj, but the forward scatter itself serialized).
+
+Both are numerically exact: the one-hot rows are exactly {0,1} so the
+matmul reproduces the gathered values bit-for-bit (HIGHEST precision
+pins the f32 dot), and the compare-reduce computes the same 0/1 grid
+as last-write-wins scatter of ones.
 """
 
 from __future__ import annotations
@@ -62,13 +81,25 @@ def compute_loss(outputs: Sequence[jnp.ndarray], labels: jnp.ndarray,
 
         t = build_dense_targets(labels, label_mask, anchors_grid, (h, w))
         bm, mm, aa, oo = t.mask.shape
-        b_idx = jax.lax.broadcasted_iota(jnp.int32, (bm, mm, aa, oo), 0)
-        a_idx = jax.lax.broadcasted_iota(jnp.int32, (bm, mm, aa, oo), 2)
         maskf = t.mask.astype(jnp.float32)
 
+        hw = h * w
+        # candidate cells are anchor-invariant (gi/gj broadcast over A)
+        gi0 = t.gi[:, :, 0, :]                              # (B,M,O)
+        gj0 = t.gj[:, :, 0, :]
+        cell = (gj0 * w + gi0).reshape(bm, mm * oo)         # (B, MO)
+        onehot = (cell[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, hw), 2)).astype(jnp.float32)  # (B, MO, HW)
+
+        def gather_cells(feat_flat):
+            # exact gather as a batched one-hot matmul (rows are {0,1})
+            return jax.lax.dot_general(
+                onehot, feat_flat, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)        # (B, MO, C)
+
         # ---- reg (CIoU) ----
-        reg5 = reg.reshape(b, h, w, a, 4)
-        ps = reg5[b_idx, t.gj, t.gi, a_idx]                 # (B,M,A,O,4)
+        ps_mo = gather_cells(reg.reshape(b, hw, a * 4))
+        ps = ps_mo.reshape(bm, mm, oo, a, 4).transpose(0, 1, 3, 2, 4)
         pxy = jax.nn.sigmoid(ps[..., :2]) * 2.0 - 0.5
         pwh = ((jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2
                * t.anchors[None, None, :, None, :])
@@ -80,20 +111,32 @@ def compute_loss(outputs: Sequence[jnp.ndarray], labels: jnp.ndarray,
         ciou = bbox_ciou(pbox, tbox)
         lbox = lbox + _masked_mean(1.0 - ciou, maskf)
 
-        # ---- obj (BCE over the full grid) ----
-        tobj = jnp.zeros((b, h, w, a), jnp.float32)
-        tobj = tobj.at[b_idx, t.gj, t.gi, a_idx].max(maskf)
+        # ---- obj (BCE over the full grid): the 0/1 target grid as a
+        # packed-key compare + any-reduce (≡ scatter-max of maskf) ----
+        a_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, aa, 1), 2)
+        key = jnp.where(t.mask, (t.gj * w + t.gi) * a + a_iota, -1)
+        key = key.reshape(bm, mm * aa * oo)                 # (B, MAO)
+        tobj = (key[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, hw * a), 2)).any(axis=1)      # (B, HW·A)
+        tobj = tobj.reshape(b, h, w, a).astype(jnp.float32)
         lobj = lobj + jnp.mean(_bce_logits(obj, tobj)) * _BALANCE[s]
 
         # ---- cls (softmax CE at matched cells; skipped when nc==1,
-        # matching the reference's ps.size(1) > 1 guard) ----
+        # matching the reference's ps.size(1) > 1 guard).  The CE value
+        # is anchor-independent; the anchor axis only weights the mean,
+        # so candidates reduce as (B,M,O) with per-anchor mask counts ----
         if nc > 1:
-            psc = cls[b_idx, t.gj, t.gi]                    # (B,M,A,O,nc)
-            logp = jax.nn.log_softmax(psc, axis=-1)
-            ce = -jnp.take_along_axis(
-                logp, t.tcls[:, :, None, None, None].astype(jnp.int32),
-                axis=-1)[..., 0]
-            lcls = lcls + _masked_mean(ce, maskf) / nc
+            psc_mo = gather_cells(cls.reshape(b, hw, nc))   # (B, MO, nc)
+            logp = jax.nn.log_softmax(
+                psc_mo.reshape(bm, mm, oo, nc), axis=-1)
+            onehot_cls = (t.tcls[:, :, None, None] == jax.lax.
+                          broadcasted_iota(jnp.int32, (1, 1, 1, nc), 3))
+            ce_mo = -jnp.sum(logp * onehot_cls, axis=-1)    # (B,M,O)
+            w_mo = maskf.sum(axis=2)                        # anchors/cand
+            denom = jnp.sum(maskf)
+            lcls = lcls + jnp.where(
+                denom > 0,
+                jnp.sum(ce_mo * w_mo) / jnp.maximum(denom, 1), 0.0) / nc
 
     lbox = lbox * 3.2
     lobj = lobj * 64.0

@@ -17,6 +17,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by serial XLA-CPU
+# compiles on this 1-core host (35 min cold); cached re-runs reuse every
+# compiled program across processes/rounds (measured 25.6s -> 0.33s for
+# one conv program).  Keyed by HLO+compiler-version hash, so staleness
+# is impossible by construction; the dir is gitignored.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -51,6 +51,46 @@ def test_fused_forward_s2d_matches_linen(ref_variables, fuse_s2):
                                    err_msg=f"output {i}")
 
 
+@requires_reference
+@pytest.mark.parametrize("fuse_s2", [False, True])
+def test_fused_forward_s2d8_matches_linen(ref_variables, fuse_s2):
+    """The s2d8_u8 path (phase-packed stem feeding stage 2 directly,
+    no phase-split permute) matches the linen model."""
+    from fastdet.kernels.fused_infer import pack_images_s2d8
+    model = Detector(classes=80, anchor_num=3)
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.randint(0, 255, (2, 352, 352, 3), np.uint8))
+    ref = model.apply(ref_variables, img.astype(jnp.float32) / 255.0,
+                      train=False)
+    fwd, packed = build_fused_forward(ref_variables, dtype=jnp.float32,
+                                      interpret=True,
+                                      input_format="s2d8_u8",
+                                      fuse_s2=fuse_s2)
+    outs = fwd(jnp.asarray(pack_images_s2d8(np.asarray(img))), packed)
+    for i, (a, b) in enumerate(zip(ref, outs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=f"output {i}")
+
+
+@requires_reference
+def test_stem8_phase_packed_matches_stem(ref_variables):
+    """upto='stem': the s2d8 16-phase conv + cross-phase pool equals the
+    s2d4 fused stem (same (B, 88, 88, 24) NHWC map)."""
+    from fastdet.kernels.fused_infer import (pack_images_s2d,
+                                             pack_images_s2d8)
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (2, 352, 352, 3), np.uint8)
+    f4, p4 = build_fused_forward(ref_variables, dtype=jnp.float32,
+                                 interpret=True, input_format="s2d_u8",
+                                 upto="stem")
+    f8, p8 = build_fused_forward(ref_variables, dtype=jnp.float32,
+                                 interpret=True, input_format="s2d8_u8",
+                                 upto="stem")
+    a = f4(jnp.asarray(pack_images_s2d(img)), p4)
+    b = f8(jnp.asarray(pack_images_s2d8(img)), p8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_chunked_stem_exact(monkeypatch):
     """The row-chunked fused stem (halo rows, per-chunk pool masking) is
     EXACTLY the XLA stem.  Integer weights make f32 arithmetic exact, so

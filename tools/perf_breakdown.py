@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--chain", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--input-format", default="s2d_u8",
+                    choices=["s2d_u8", "s2d8_u8"],
+                    help="s2d8_u8 = phase-packed stem feeding stage 2 "
+                         "directly (no phase-split permute)")
+    ap.add_argument("--fuse-s2", action="store_true",
+                    help="stages as single s2span Pallas programs")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
@@ -82,9 +88,14 @@ def main():
     npad = (h4 * w4 + 127) // 128 * 128
 
     b, chain = args.batch, args.chain
+    if args.input_format == "s2d8_u8":
+        h8w8 = (hw[0] // 8) * (hw[1] // 8)
+        in_shape = (192, (h8w8 + 127) // 128 * 128)
+    else:
+        in_shape = (48, npad)
     # generated on device: dev-tunnel device_put runs at ~5-30 MB/s
     imgs_k = jax.jit(lambda k: jax.random.randint(
-        k, (chain, b, 48, npad), 0, 255, jnp.uint8))(jax.random.PRNGKey(0))
+        k, (chain, b) + in_shape, 0, 255, jnp.uint8))(jax.random.PRNGKey(0))
     imgs_k.block_until_ready()
 
     def timed(fn):
@@ -114,7 +125,8 @@ def main():
                                       anchor_num=cfg.anchor_num,
                                       classes=cfg.classes,
                                       dtype=jnp.bfloat16,
-                                      input_format="s2d_u8", upto=name)
+                                      input_format=args.input_format,
+                                      fuse_s2=args.fuse_s2, upto=name)
         if packed is None:
             packed = pk
         stages.append((name or "fpn+heads",
@@ -129,7 +141,8 @@ def main():
                                         anchor_num=cfg.anchor_num,
                                         classes=cfg.classes,
                                         dtype=jnp.bfloat16,
-                                        input_format="s2d_u8")
+                                        input_format=args.input_format,
+                                        fuse_s2=args.fuse_s2)
     stages.append(("detect(+post/NMS)", timed(full_detect)))
 
     # minimum HBM traffic per image at each stage boundary (bytes):

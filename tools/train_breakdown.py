@@ -21,6 +21,7 @@ Run on the TPU host:  python tools/train_breakdown.py [--batch 128]
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -148,10 +149,12 @@ def main():
             (total, _), grads = grad_fn(p, s, im, lb, mk)
             gs = sum(jnp.sum(g.astype(jnp.float32))
                      for g in jax.tree.leaves(grads))
-            return c + total + gs, total
-        _, tot = jax.lax.scan(body, jnp.float32(0),
-                              (images_k, labels_k, mask_k2))
-        return tot[-1]
+            return c + total + gs, None
+        # return the CARRY (not per-step outputs): it transitively
+        # depends on every step's grads, so XLA cannot DCE the backward
+        c_fin, _ = jax.lax.scan(body, jnp.float32(0),
+                                (images_k, labels_k, mask_k2))
+        return c_fin
 
     t_bwd = timed(lambda: float(
         grad_chain(params, stats, imgs_k, labs_k, mask_k)))
@@ -161,7 +164,7 @@ def main():
     opt0 = tx.init(params)
     grads0 = jax.tree.map(jnp.ones_like, params)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(3,))
     def opt_chain(p, opt, grads, n):
         import optax
 
