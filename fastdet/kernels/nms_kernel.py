@@ -272,23 +272,17 @@ def keep_mask_batch(boxes_k, score_k, cls_k, valid_k, *, iou_thres,
     return keep_f[:, 0, :] > 0.5                          # (B,k)
 
 
-def suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k, *, iou_thres,
-                          max_det, interpret: bool = False):
-    """Batched greedy suppression: Pallas keep-mask + XLA compaction.
+def compact_ranked(keep, boxes_k, score_k, cls_k, *, max_det):
+    """Kept rows to the front IN RANK ORDER via one small sort on the
+    integer key (rank | k+rank) — distinct keys, so the result is
+    exactly suppress_ranked's scatter compaction, but without the XLA
+    scatter (measured 1.49 µs/img of the serving path's 5.0 µs
+    postprocess at b128/k256 — tools/pp_breakdown.py; the k-lane
+    7-operand sort is ~0.1 µs).
 
-    boxes_k (B,k,4) xyxy, score_k (B,k) descending, cls_k (B,k) int,
-    valid_k (B,k) bool → ((B,max_det,6), (B,) counts); exactly
-    ``jax.vmap(suppress_ranked)`` (pinned by test)."""
+    keep (B,k) bool, boxes_k (B,k,4), score_k (B,k), cls_k (B,k) int
+    → ((B,max_det,6) rows [xyxy, conf, cls], (B,) counts)."""
     b, k = score_k.shape
-    keep = keep_mask_batch(boxes_k, score_k, cls_k, valid_k,
-                           iou_thres=iou_thres, interpret=interpret)
-
-    # compaction: kept rows to the front IN RANK ORDER via one small
-    # sort on the integer key (rank | k+rank) — distinct keys, so the
-    # result is exactly suppress_ranked's scatter compaction, but
-    # without the XLA scatter (measured 1.49 µs/img of the serving
-    # path's 5.0 µs postprocess at b128/k256 — tools/pp_breakdown.py;
-    # the k-lane 7-operand sort is ~0.1 µs)
     n_keep = jnp.minimum(jnp.sum(keep, axis=1), max_det)
     rank = lax.broadcasted_iota(jnp.int32, (b, k), 1)
     key = jnp.where(keep, rank, k + rank)
@@ -303,3 +297,15 @@ def suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k, *, iou_thres,
             < n_keep[:, None])
     det = jnp.where(live[..., None], rows[:, :max_det], 0)
     return det, n_keep
+
+
+def suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k, *, iou_thres,
+                          max_det, interpret: bool = False):
+    """Batched greedy suppression: Pallas keep-mask + XLA compaction.
+
+    boxes_k (B,k,4) xyxy, score_k (B,k) descending, cls_k (B,k) int,
+    valid_k (B,k) bool → ((B,max_det,6), (B,) counts); exactly
+    ``jax.vmap(suppress_ranked)`` (pinned by test)."""
+    keep = keep_mask_batch(boxes_k, score_k, cls_k, valid_k,
+                           iou_thres=iou_thres, interpret=interpret)
+    return compact_ranked(keep, boxes_k, score_k, cls_k, max_det=max_det)

@@ -35,6 +35,31 @@ def postprocess_dense(outputs, anchors, input_hw, *, conf_thres=0.3,
                        iou_thres=iou_thres, max_det=max_det, max_nms=max_nms)
 
 
+def _geo_table(meta, anchors, npad):
+    """(8, Np) f32 geometry table: rows [cell x, cell y, stride,
+    anchor w, anchor h, 0, 0, 0] per flat candidate index (flatten
+    order (h, w, anchor), scales concatenated — identical arithmetic
+    to the per-candidate where-chain below, but B-independent)."""
+    j = lax.iota(jnp.int32, npad)
+    cx = jnp.zeros((npad,), jnp.float32)
+    cy = jnp.zeros((npad,), jnp.float32)
+    strd = jnp.zeros((npad,), jnp.float32)
+    anc_i = jnp.zeros((npad,), jnp.int32)
+    base = 0
+    for s, (cnt, h, w, a, stride) in enumerate(meta):
+        local = j - base
+        in_s = (j >= base) & (j < base + cnt)
+        ci = local // a
+        cx = jnp.where(in_s, (ci % w).astype(jnp.float32), cx)
+        cy = jnp.where(in_s, (ci // w).astype(jnp.float32), cy)
+        strd = jnp.where(in_s, jnp.asarray(stride, jnp.float32), strd)
+        anc_i = jnp.where(in_s, s * a + local % a, anc_i)
+        base += cnt
+    awh = anchors.reshape(-1, 2)[anc_i]                     # (Np,2)
+    z = jnp.zeros((npad,), jnp.float32)
+    return jnp.stack([cx, cy, strd, awh[:, 0], awh[:, 1], z, z, z], 0)
+
+
 def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
                 iou_thres=0.45, max_det=300, max_nms=1024,
                 nms_kernel=None, _upto=None):
@@ -115,10 +140,37 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
         lax.broadcasted_iota(jnp.int32, (1, n), 1), ranked.shape)
     nc = outputs[2].shape[-1]                 # classes (cls_f < nc)
     combo = iota * nc + cls_f
+
+    if nms_kernel is None:
+        nms_kernel = jax.default_backend() == "tpu"
+    # serving windows (k ≤ 512, 128-aligned) run the fully fused
+    # rank→decode→NMS kernel: a 2-operand sort (raw reg logits are
+    # gathered in-VMEM by MXU one-hot matmuls instead of riding the
+    # sort as payloads) feeding one Pallas program that decodes and
+    # suppresses — exactly equal to the staged path below (pinned by
+    # test; see fastdet/kernels/pp_fused.py for the bitwise argument)
+    if nms_kernel and _upto is None and k <= 512 and k % 128 == 0:
+        from fastdet.kernels.pp_fused import rank_decode_nms
+        from fastdet.kernels.nms_kernel import compact_ranked
+        neg_s2, combo_s2 = lax.sort((-ranked, combo), dimension=1,
+                                    is_stable=False, num_keys=2)
+        neg_k2, combo_k2 = neg_s2[:, :k], combo_s2[:, :k]
+        npad = (n + 127) // 128 * 128
+        regs_lane = jnp.pad(reg_f, ((0, 0), (0, npad - n), (0, 0)))
+        regs_lane = regs_lane.transpose(0, 2, 1)            # (B,4,Np)
+        geo = _geo_table(meta, anchors, npad)
+        keep, boxes_k2 = rank_decode_nms(
+            neg_k2, combo_k2, regs_lane, geo, nc=nc, iou_thres=iou_thres,
+            interpret=jax.default_backend() != "tpu")
+        return compact_ranked(keep, boxes_k2, -neg_k2, combo_k2 % nc,
+                              max_det=max_det)
+
+    operands = (-ranked, combo,
+                reg_f[..., 0], reg_f[..., 1], reg_f[..., 2], reg_f[..., 3])
+    if _upto == "prep":
+        return operands
     neg_s, combo_s, r0, r1, r2, r3 = lax.sort(
-        (-ranked, combo,
-         reg_f[..., 0], reg_f[..., 1], reg_f[..., 2], reg_f[..., 3]),
-        dimension=1, is_stable=False, num_keys=2)
+        operands, dimension=1, is_stable=False, num_keys=2)
     score_k = -neg_s[:, :k]                              # (B,k)
     order = combo_s[:, :k] // nc
     cls_k = combo_s[:, :k] % nc
@@ -157,11 +209,9 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
         return keep_mask_batch(boxes_k, score_k, cls_k, valid_k,
                                iou_thres=iou_thres)
 
-    if nms_kernel is None:
-        # serving windows (k ≤ 1024) run the single-tile kernel; larger
-        # eval-grade windows run the blocked (T,T)-tiled variant — both
-        # exact-equal to the XLA fixpoint
-        nms_kernel = jax.default_backend() == "tpu"
+    # (nms_kernel already resolved above) windows k ≤ 1024 run the
+    # single-tile kernel; larger eval-grade windows run the blocked
+    # (T,T)-tiled variant — both exact-equal to the XLA fixpoint
     if nms_kernel:
         from fastdet.kernels.nms_kernel import suppress_ranked_batch
         return suppress_ranked_batch(boxes_k, score_k, cls_k, valid_k,

@@ -304,3 +304,68 @@ def test_detect_at_640(ref_variables):
     d = np.asarray(dets[0][:n])
     assert (d[:, :4] >= -50).all() and (d[:, :4] <= 700).all()
     assert 0.0 in d[:, 5]  # finds the person at this scale too
+
+
+def test_fused_rank_decode_nms_equals_staged():
+    """The fully fused serving kernel (2-operand sort + in-VMEM one-hot
+    gather + in-kernel decode + greedy NMS, fastdet/kernels/pp_fused.py)
+    is BITWISE equal to the staged path (6-operand sort + XLA decode +
+    NMS kernel) and to the dense oracle — interpret mode on CPU.
+
+    nms_kernel=True forces the fused branch off-TPU (k=256, 128-aligned
+    serving window); nms_kernel=False is the staged XLA fixpoint."""
+    from fastdet.ops.postprocess import postprocess, postprocess_dense
+    rng = np.random.RandomState(11)
+    anchors = jnp.asarray(np.array(
+        [12.64, 19.39, 37.88, 51.48, 55.71, 138.31,
+         126.91, 78.23, 131.57, 214.55, 279.92, 258.87],
+        np.float32).reshape(2, 3, 2))
+
+    def mk(b, obj_shift):
+        outs = []
+        for (h, w) in ((22, 22), (11, 11)):
+            outs.append(jnp.asarray(
+                rng.randn(b, h, w, 12).astype(np.float32) * 2))
+            outs.append(jnp.asarray(
+                rng.randn(b, h, w, 3).astype(np.float32) + obj_shift))
+            outs.append(jnp.asarray(
+                rng.randn(b, h, w, 80).astype(np.float32) * 3))
+        return outs
+
+    # dense valid set (most candidates pass conf) and sparse (<k pass)
+    for b, obj_shift, conf in ((4, 2.0, 0.005), (2, -2.0, 0.3), (1, 0.0, 0.1)):
+        outs = mk(b, obj_shift)
+        d_ref, c_ref = postprocess(outs, anchors, (352, 352),
+                                   conf_thres=conf, iou_thres=0.4,
+                                   max_nms=256, nms_kernel=False)
+        d_fus, c_fus = postprocess(outs, anchors, (352, 352),
+                                   conf_thres=conf, iou_thres=0.4,
+                                   max_nms=256, nms_kernel=True)
+        d_dense, c_dense = postprocess_dense(outs, anchors, (352, 352),
+                                             conf_thres=conf, iou_thres=0.4,
+                                             max_nms=256)
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_fus))
+        np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_fus))
+        np.testing.assert_array_equal(np.asarray(c_dense), np.asarray(c_fus))
+        np.testing.assert_array_equal(np.asarray(d_dense), np.asarray(d_fus))
+
+
+def test_fused_rank_decode_nms_ties():
+    """Constant logits (all scores equal): the 2-operand sort must
+    tie-break by original index exactly like the 6-operand form."""
+    from fastdet.ops.postprocess import postprocess
+    anchors = jnp.asarray(np.array(
+        [12.64, 19.39, 37.88, 51.48, 55.71, 138.31,
+         126.91, 78.23, 131.57, 214.55, 279.92, 258.87],
+        np.float32).reshape(2, 3, 2))
+    outs = []
+    for (h, w) in ((22, 22), (11, 11)):
+        outs.append(jnp.zeros((2, h, w, 12), jnp.float32))
+        outs.append(jnp.ones((2, h, w, 3), jnp.float32))
+        outs.append(jnp.zeros((2, h, w, 80), jnp.float32))
+    d1, c1 = postprocess(outs, anchors, (352, 352), conf_thres=0.005,
+                         iou_thres=0.4, max_nms=256, nms_kernel=False)
+    d2, c2 = postprocess(outs, anchors, (352, 352), conf_thres=0.005,
+                         iou_thres=0.4, max_nms=256, nms_kernel=True)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

@@ -103,7 +103,7 @@ def main():
 
     rows = []
     prev = 0.0
-    for upto in ("fwd", "scores", "sorted", "decoded", "keep", "full"):
+    for upto in ("fwd", "scores", "prep", "sorted", "decoded", "keep", "full"):
         cum = timed(make(upto))
         rows.append({"stage": upto, "cumulative_us": round(cum, 3),
                      "stage_us": round(cum - prev, 3)})
