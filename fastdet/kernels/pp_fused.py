@@ -28,9 +28,11 @@ Cell/stride/anchor geometry is a pure function of the flat candidate
 index, so it rides a (8, N) TABLE built once per program from iotas
 (B-independent) and gathered through the same one-hot — no integer
 div/mod in the kernel beyond `idx = floor((combo+0.5)/nc)`, which is
-exact in f32 for combo < 2²⁴ (the +0.5 keeps the true value ≥ 1/(2nc)
-away from every integer boundary, 4 decades above the ≤2.2e-4 f32
-error).
+exact in f32 for combo < 2²³ (the +0.5 keeps the true value ≥ 1/(2nc)
+away from every integer boundary; beyond 2²³, combo+0.5 itself rounds
+ties-to-even and an odd combo with cls=nc−1 lands on the wrong side).
+The dispatcher in fastdet/ops/postprocess.py guards the fused branch
+with `n·nc < 2²³`.
 
 The suppression fixpoint and its exactness argument are unchanged from
 fastdet/kernels/nms_kernel.py (reference: utils/utils.py:232-296 with
@@ -38,9 +40,10 @@ the class-offset trick; ncnn nmsHandle sample/ncnn/src/yolo-fastestv2
 .cpp:78-110).  Both box orientations the (k,k) IoU build needs come
 from one in-kernel transpose instead of duplicated HBM operands.
 
-Serving windows only (k ≤ 512, one (k,k) tile in VMEM); eval-grade
-windows (max_nms 2048) keep the blocked-kernel path in
-fastdet/ops/postprocess.py.
+Serving windows only (k ≤ 384, one (k,k) tile in VMEM — k=512 measured
+16.2 MB of scoped VMEM even at group 1, over the v5e 16 MB limit);
+wider windows (512 … max_nms 2048) keep the staged/blocked-kernel paths
+in fastdet/ops/postprocess.py.
 """
 
 from __future__ import annotations
@@ -70,7 +73,10 @@ def _fused_kernel(s2_ref, regs_ref, geo_ref, keep_ref, boxes_ref, *,
     lane_i = lax.broadcasted_iota(jnp.int32, (k, k), 1)
     sub_j = lax.broadcasted_iota(jnp.int32, (k, k), 0)
     tri = sub_j < lane_i
-    iota_n = lax.broadcasted_iota(jnp.float32, (1, npad), 1)
+    # Mosaic's tpu.iota only produces integer vectors — an f32 iota fails
+    # verification on hardware.  int32 iota + astype compiles and is
+    # bit-identical (values < 2^24).
+    iota_n = lax.broadcasted_iota(jnp.int32, (1, npad), 1).astype(jnp.float32)
     geo = geo_ref[...]
 
     overlaps, valids = [], []
@@ -156,12 +162,15 @@ def rank_decode_nms(neg_k, combo_k, regs_lane, geo, *, nc: int,
     npad = regs_lane.shape[-1]
     s2 = jnp.stack([neg_k, combo_k.astype(jnp.float32)], axis=1)  # (B,2,k)
 
-    # VMEM/image ≈ onehot (k·Np) + overlap (k²) + gathered ops; the
-    # onehot is transient per image, overlaps persist per group.  Keep
-    # the persistent set ≲2 MB and the group ≤4 (k=256 → group 4).
-    max_group = max(1, (2 << 20) // (k * k * 4))
+    # VMEM/image ≈ onehot (k·Np) + overlap (k²) + several live (k,k)
+    # iou temporaries; Mosaic's stack allocator is conservative, so the
+    # budget is empirical: k=512 at group 2 measured 18.14 MB of scoped
+    # stack on v5e (>16 MB limit, hardware compile failure caught by
+    # tools/tpu_smoke.py) while k=256 at group 4 fits.  Group caps by
+    # k, validated on the chip: ≤256 → 4, 384 → 2, 512 → 1.
+    max_group = 4 if k <= 256 else (2 if k <= 384 else 1)
     group = 1
-    while (b % (group * 2) == 0) and group * 2 <= min(4, max_group):
+    while (b % (group * 2) == 0) and group * 2 <= max_group:
         group *= 2
     kern = functools.partial(_fused_kernel, nc=nc, iou_thres=iou_thres,
                              group=group)

@@ -148,8 +148,18 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     # gathered in-VMEM by MXU one-hot matmuls instead of riding the
     # sort as payloads) feeding one Pallas program that decodes and
     # suppresses — exactly equal to the staged path below (pinned by
-    # test; see fastdet/kernels/pp_fused.py for the bitwise argument)
-    if nms_kernel and _upto is None and k <= 512 and k % 128 == 0:
+    # test; see fastdet/kernels/pp_fused.py for the bitwise argument).
+    # n·nc < 2^23 guards the in-kernel f32 idx=floor((combo+0.5)/nc)
+    # recovery: beyond 2^23, combo+0.5 rounds ties-to-even and an odd
+    # combo with cls=nc−1 recovers the wrong index (the 2-key sort
+    # itself is exact for any int32 combo; only the kernel's f32 carry
+    # needs the bound).
+    # k cap 384: at k=512 even a group-1 fused program measured 16.2 MB
+    # of conservatively-stacked scoped VMEM on v5e (>16 MB limit,
+    # tools/tpu_smoke.py); 512-wide windows take the staged path below
+    # (its single-tile NMS kernel handles k ≤ 1024 on hardware).
+    if (nms_kernel and _upto is None and k <= 384 and k % 128 == 0
+            and n * nc < 2 ** 23):
         from fastdet.kernels.pp_fused import rank_decode_nms
         from fastdet.kernels.nms_kernel import compact_ranked
         neg_s2, combo_s2 = lax.sort((-ranked, combo), dimension=1,
