@@ -158,8 +158,14 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     # of conservatively-stacked scoped VMEM on v5e (>16 MB limit,
     # tools/tpu_smoke.py); 512-wide windows take the staged path below
     # (its single-tile NMS kernel handles k ≤ 1024 on hardware).
+    # k·npad cap: the kernel's one-hot gather is a (k, npad) f32 VMEM
+    # tile per group member; 640² inputs (npad 6016, k 256 → 6.2 MB per
+    # image) measured 27.9 MB of kernel stack on v5e and fail compile,
+    # so large-n windows also take the staged path.  The bound is the
+    # largest hardware-validated shape family (k=384 × npad=1920).
+    npad128 = (n + 127) // 128 * 128
     if (nms_kernel and _upto is None and k <= 384 and k % 128 == 0
-            and n * nc < 2 ** 23):
+            and n * nc < 2 ** 23 and k * npad128 <= 384 * 1920):
         from fastdet.kernels.pp_fused import rank_decode_nms
         from fastdet.kernels.nms_kernel import compact_ranked
         neg_s2, combo_s2 = lax.sort((-ranked, combo), dimension=1,
