@@ -66,6 +66,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-5
 
+
+def _acc_t(dtype):
+    """Accumulation/stat dtype: f32 everywhere except under an f64
+    compute dtype (the x64 parity tests), where flips of near-zero ReLU
+    masks would otherwise dominate any fused-vs-linen comparison."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
 # lanes per training-span program (fwd and bwd must share the group —
 # the ghost stats are per program — so the cap is the BACKWARD's VMEM
 # high-water mark: recompute working set + residual block + grad
@@ -138,10 +145,10 @@ def _roll_taps(y, valid, n, w, dtype):
 
 
 def _mmc(a, b, dtype):
-    """dtype-cast matmul with f32 accumulation."""
+    """dtype-cast matmul with f32 (f64 under x64) accumulation."""
     return lax.dot_general(a.astype(dtype), b.astype(dtype),
                            (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=_acc_t(dtype))
 
 
 def _block_fwd(x, wa_ref, wdw_ref, gb_ref, w2t_ref, geom, n, w, m, dtype):
@@ -150,11 +157,12 @@ def _block_fwd(x, wa_ref, wdw_ref, gb_ref, w2t_ref, geom, n, w, m, dtype):
     x (c, N) dtype → (out (c, N) dtype, stats (mid, 16) f32 columns
     [μ1,σinv1,var1, μ2,σinv2,var2, μ3,σinv3,var3, 0…])."""
     lane_valid, valid = geom
-    maskf = lane_valid.astype(jnp.float32)
+    acc = _acc_t(dtype)
+    maskf = lane_valid.astype(acc)
     c = x.shape[0]
     mid = c // 2
-    gb = gb_ref[...]                                 # (mid, 8) f32
-    wdw = wdw_ref[...]                               # (mid, 16) f32
+    gb = gb_ref[...]                                 # (mid, 8) acc
+    wdw = wdw_ref[...]                               # (mid, 16) acc
 
     a = _mmc(wa_ref[...], x, dtype)                  # (c, N) f32
     u1 = a[:mid]
@@ -166,7 +174,7 @@ def _block_fwd(x, wa_ref, wdw_ref, gb_ref, w2t_ref, geom, n, w, m, dtype):
     taps = _roll_taps(y, valid, n, w, dtype)
     u2 = jnp.zeros_like(u1)
     for t in range(9):
-        u2 = u2 + wdw[:, t:t + 1] * taps[t].astype(jnp.float32)
+        u2 = u2 + wdw[:, t:t + 1] * taps[t].astype(acc)
     mu2, var2, sinv2 = _masked_stats(u2, maskf, m)
     v = ((u2 - mu2) * (sinv2 * gb[:, 2:3]) + gb[:, 3:4]).astype(dtype)
 
@@ -176,7 +184,7 @@ def _block_fwd(x, wa_ref, wdw_ref, gb_ref, w2t_ref, geom, n, w, m, dtype):
                     0.0).astype(dtype)
 
     out = jnp.concatenate([xe, z], 0)
-    zpad = jnp.zeros((mid, 7), jnp.float32)
+    zpad = jnp.zeros((mid, 7), acc)
     stats = jnp.concatenate([mu1, sinv1, var1, mu2, sinv2, var2,
                              mu3, sinv3, var3, zpad], 1)   # (mid, 16)
     return out, stats
@@ -205,7 +213,8 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
     x (c,N) dtype, st (mid,16) f32 → (dx (c,N) f32, dwa_top (mid,c),
     ddw (mid,16), dw2t (mid,mid), dgb (mid,8))."""
     lane_valid, valid = geom
-    maskf = lane_valid.astype(jnp.float32)
+    acc = _acc_t(dtype)
+    maskf = lane_valid.astype(acc)
     c = x.shape[0]
     mid = c // 2
     gb = gb_ref[...]
@@ -223,7 +232,7 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
     taps = _roll_taps(y, valid, n, w, dtype)
     u2 = jnp.zeros_like(u1)
     for t in range(9):
-        u2 = u2 + wdw[:, t:t + 1] * taps[t].astype(jnp.float32)
+        u2 = u2 + wdw[:, t:t + 1] * taps[t].astype(acc)
     xhat2 = (u2 - mu2) * sinv2
     v = (xhat2 * gb[:, 2:3] + gb[:, 3:4]).astype(dtype)
     u3 = _mmc(w2t_ref[...], v, dtype)
@@ -235,9 +244,9 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
     dz = dy[mid:]
     gz = jnp.where(relu3, dz, 0.0)
     du3, dg3, db3 = _bn_bwd(gz, xhat3, gb[:, 4:5], sinv3, maskf, m)
-    dw2t = lax.dot_general(du3, v.astype(jnp.float32),
+    dw2t = lax.dot_general(du3, v.astype(acc),
                            (((1,), (1,)), ((), ())),
-                           preferred_element_type=jnp.float32)  # (mid,mid)
+                           preferred_element_type=acc)          # (mid,mid)
     dv = _mmc(w2_ref[...], du3, dtype)
     du2, dg2, db2 = _bn_bwd(dv, xhat2, gb[:, 2:3], sinv2, maskf, m)
 
@@ -246,11 +255,11 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
     for t in range(9):
         dy_, dx_ = t // 3 - 1, t % 3 - 1
         off = dy_ * w + dx_
-        ddw_cols.append(jnp.sum(du2 * taps[t].astype(jnp.float32),
+        ddw_cols.append(jnp.sum(du2 * taps[t].astype(acc),
                                 axis=1, keepdims=True))    # (mid, 1)
         contrib = jnp.where(valid[t], du2, 0.0)
         dyy = dyy + wdw[:, t:t + 1] * pltpu.roll(contrib, off % n, 1)
-    ddw = jnp.concatenate(ddw_cols + [jnp.zeros((mid, 7), jnp.float32)],
+    ddw = jnp.concatenate(ddw_cols + [jnp.zeros((mid, 7), acc)],
                           1)                               # (mid, 16)
 
     gy = jnp.where(bn1 > 0.0, dyy, 0.0)
@@ -258,11 +267,11 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
 
     da = jnp.concatenate([du1, dxe], 0)                    # (c, N) f32
     dx = _mmc(wat_ref[...], da, dtype)
-    dwa_top = lax.dot_general(du1, x.astype(jnp.float32),
+    dwa_top = lax.dot_general(du1, x.astype(acc),
                               (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (mid,c)
+                              preferred_element_type=acc)          # (mid,c)
     dgb = jnp.concatenate([dg1, db1, dg2, db2, dg3, db3,
-                           jnp.zeros((mid, 2), jnp.float32)], 1)   # (mid,8)
+                           jnp.zeros((mid, 2), acc)], 1)   # (mid,8)
     return dx, dwa_top, ddw, dw2t, dgb
 
 
@@ -286,7 +295,7 @@ def _span_train_bwd_kernel(dy_ref, xsave_ref, stats_ref, *refs, nblk, h,
         dw2t_ref[...] = jnp.zeros_like(dw2t_ref)
         dgb_ref[...] = jnp.zeros_like(dgb_ref)
 
-    dy = jnp.where(lane_valid, dy_ref[0].astype(jnp.float32), 0.0)
+    dy = jnp.where(lane_valid, dy_ref[0].astype(_acc_t(dtype)), 0.0)
     for i in range(nblk - 1, -1, -1):
         wa, wdw, gb, w2t, wat, w2 = wrefs[6 * i:6 * i + 6]
         dy, dwa_top, ddw, dw2t, dgb = _block_bwd(
@@ -322,7 +331,7 @@ def _fwd_call(xt, flat_w, nblk, h, w, nimg, c, m, dtype, interpret):
         out_shape=[jax.ShapeDtypeStruct((bg, c, n), dtype),
                    jax.ShapeDtypeStruct((bg, nblk, c, n), dtype),
                    jax.ShapeDtypeStruct((bg, nblk, mid, 16),
-                                        jnp.float32)],
+                                        _acc_t(dtype))],
         interpret=interpret,
     )(xt, *flat_w)
 
@@ -354,11 +363,11 @@ def _bwd_call(dyt, xsave, stats, flat_wb, nblk, h, w, nimg, c, m, dtype,
                                 memory_space=pltpu.VMEM),
                    acc(nblk, mid, c), acc(nblk, mid, 16),
                    acc(nblk, mid, mid), acc(nblk, mid, 8)],
-        out_shape=[jax.ShapeDtypeStruct((bg, c, n), jnp.float32),
-                   jax.ShapeDtypeStruct((nblk, mid, c), jnp.float32),
-                   jax.ShapeDtypeStruct((nblk, mid, 16), jnp.float32),
-                   jax.ShapeDtypeStruct((nblk, mid, mid), jnp.float32),
-                   jax.ShapeDtypeStruct((nblk, mid, 8), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((bg, c, n), _acc_t(dtype)),
+                   jax.ShapeDtypeStruct((nblk, mid, c), _acc_t(dtype)),
+                   jax.ShapeDtypeStruct((nblk, mid, 16), _acc_t(dtype)),
+                   jax.ShapeDtypeStruct((nblk, mid, mid), _acc_t(dtype)),
+                   jax.ShapeDtypeStruct((nblk, mid, 8), _acc_t(dtype))],
         interpret=interpret,
     )(dyt, xsave, stats, *flat_wb)
 
@@ -413,7 +422,7 @@ def make_span_train(nblk: int, h: int, w: int, nimg: int, c: int,
         dws = []
         for i in range(nblk):
             dwa = jnp.concatenate(
-                [dwa_top[i], jnp.zeros((mid, c), jnp.float32)], 0)
+                [dwa_top[i], jnp.zeros((mid, c), _acc_t(dtype))], 0)
             dws.append((dwa, ddw[i], dgb[i], dw2t[i]))
         return dx.astype(xsave.dtype), dws
 

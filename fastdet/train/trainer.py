@@ -69,7 +69,8 @@ def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
                     mesh: Optional[Mesh] = None,
                     compute_dtype=jnp.float32,
                     loss_fn_impl: Callable = compute_loss,
-                    state_sharding=None) -> Callable:
+                    state_sharding=None,
+                    apply_fn: Optional[Callable] = None) -> Callable:
     """Returns jitted `train_step(state, images_u8, labels, label_mask,
     anchors) -> (state, metrics)`.
 
@@ -79,16 +80,26 @@ def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
     `state_sharding`: optional NamedSharding pytree for the TrainState —
     pass `fastdet.parallel.tp.state_shardings(...)` on a (data, model)
     mesh for tensor-parallel channel sharding; default replicates.
+
+    `apply_fn(params, batch_stats, x) -> (outputs, new_batch_stats)`:
+    optional train-forward override — the fused-backbone mode passes
+    `fastdet.train.fused_forward.build_fused_train_apply(...)` here;
+    default is the linen `model.apply` train path.
     """
+
+    if apply_fn is None:
+        def apply_fn(params, batch_stats, x):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"])
+            return outputs, mutated["batch_stats"]
 
     def loss_fn(params, batch_stats, images, labels, label_mask, anchors):
         x = images.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
-        outputs, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x,
-            train=True, mutable=["batch_stats"])
+        outputs, new_stats = apply_fn(params, batch_stats, x)
         total, comps = loss_fn_impl(outputs, labels, label_mask, anchors,
                                     input_hw)
-        return total, (comps, mutated["batch_stats"])
+        return total, (comps, new_stats)
 
     def step_fn(state: TrainState, images, labels, label_mask, anchors):
         (total, (comps, new_stats)), grads = jax.value_and_grad(
@@ -143,7 +154,8 @@ class Trainer:
     def __init__(self, model, cfg: Config, steps_per_epoch: int,
                  mesh: Optional[Mesh] = None, subdivisions: Optional[int] = None,
                  compute_dtype=jnp.float32,
-                 loss_fn: Callable = compute_loss):
+                 loss_fn: Callable = compute_loss,
+                 fused_backbone: bool = False):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
@@ -154,11 +166,20 @@ class Trainer:
         self.anchors = jnp.asarray(
             np.asarray(cfg.anchors, np.float32).reshape(
                 cfg.num_scales, cfg.anchor_num, 2))
+        apply_fn = None
+        if fused_backbone:
+            # opt-in Pallas custom-VJP backbone (ghost BN in the span
+            # kernels — fastdet/train/fused_forward.py)
+            from fastdet.train.fused_forward import build_fused_train_apply
+            apply_fn = build_fused_train_apply(
+                (cfg.height, cfg.width), dtype=compute_dtype,
+                interpret=jax.default_backend() != "tpu")
         self._make_step = functools.partial(
             make_train_step, model, self.tx, self.schedule, self.anchors,
             (cfg.height, cfg.width),
             subdivisions=subdivisions or cfg.subdivisions or 1,
-            mesh=mesh, compute_dtype=compute_dtype, loss_fn_impl=loss_fn)
+            mesh=mesh, compute_dtype=compute_dtype, loss_fn_impl=loss_fn,
+            apply_fn=apply_fn)
         # on a (data, model) mesh the jit needs the TrainState's sharding
         # pytree, so it is built in init_state; 1-D/no-mesh builds eagerly
         self._tensor_parallel = (mesh is not None

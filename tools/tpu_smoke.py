@@ -304,13 +304,44 @@ def entry_anchorfree_fused(ctx):
 
 
 def entry_train_fused_vjp(ctx):
-    """Custom-VJP fused-backbone training step (forward+backward Pallas
-    span kernels), if present."""
-    try:
-        from fastdet.kernels.fused_train import build_fused_train_check
-    except ImportError:
-        raise SkipEntry("fastdet.kernels.fused_train not present")
-    build_fused_train_check(ctx["variables"], ctx["anchors"])
+    """Custom-VJP fused-backbone training: forward + backward span
+    kernels at the b128 group shapes (b=16 reproduces them), full
+    value_and_grad through loss."""
+    import jax
+    import jax.numpy as jnp
+    from fastdet.train.fused_forward import build_fused_train_apply
+    from fastdet.train.loss import compute_loss
+    import numpy as np
+    apply_fn = build_fused_train_apply((352, 352), dtype=jnp.bfloat16)
+    params = ctx["variables"]["params"]
+    stats = ctx["variables"]["batch_stats"]
+    b = 16
+    labels = np.zeros((b, 8, 5), np.float32)
+    labels[:, 0, :] = [1, 0.5, 0.5, 0.3, 0.3]
+    mask = np.zeros((b, 8), bool)
+    mask[:, 0] = True
+    labels, mask = jnp.asarray(labels), jnp.asarray(mask)
+
+    @jax.jit
+    def step(params, stats, imgs, labels, mask, anc):
+        def loss_fn(p):
+            x = imgs.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            outs, new_stats = apply_fn(p, stats, x)
+            total, comps = compute_loss(outs, labels, mask, anc,
+                                        (352, 352))
+            return total, new_stats
+        (total, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return total, grads, new_stats
+
+    imgs = _randu8((b, 352, 352, 3), seed=6)
+    total, grads, new_stats = step(params, stats, imgs, labels, mask,
+                                   ctx["anchors"])
+    _finite_fetch(total)
+    _finite_fetch(grads["backbone"]["stage3_1"]["main_pw"]["conv"]
+                  ["kernel"])
+    _finite_fetch(new_stats["backbone"]["stage3_1"]["main_pw"]["bn"]
+                  ["var"])
 
 
 class SkipEntry(Exception):
