@@ -31,6 +31,11 @@ def main():
     parser.add_argument("--ckpt_dir", type=str, default="checkpoints")
     parser.add_argument("--weights_dir", type=str, default="weights")
     parser.add_argument("--eval_every", type=int, default=10)
+    parser.add_argument("--fused-backbone", action="store_true",
+                        help="train the backbone through the Pallas "
+                             "custom-VJP span/stem kernels (ghost BN in "
+                             "the spans — see docs/PERF.md §2; yolo "
+                             "family only)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations in the forward pass")
     parser.add_argument("--chain", type=int, default=1,
@@ -120,10 +125,14 @@ def main():
     # eval stays f32 (eval-grade metrics for the AP-stamped saves)
     eval_family = get_family(opt.model, cfg) if opt.bf16 else family
     model = family.model
+    if opt.fused_backbone and opt.model != "yolo-fastestv2":
+        raise SystemExit("--fused-backbone supports the yolo-fastestv2 "
+                         "family only")
     trainer = Trainer(model, cfg, steps_per_epoch=len(train_loader),
                       mesh=mesh,
                       compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
-                      loss_fn=family.loss_fn)
+                      loss_fn=family.loss_fn,
+                      fused_backbone=opt.fused_backbone)
 
     # init / finetune / resume.  pre_weights merges with strict=False
     # semantics (reference train.py:76): matching tensors load, the rest

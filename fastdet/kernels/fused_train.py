@@ -29,19 +29,22 @@ Layout and tap structure are the inference span kernel's (transposed
     eval-mode behavior is identical in expectation to the standard
     path.  This mode is opt-in (`--fused-backbone`); the default path
     keeps exact full-batch BN and torch-oracle grad parity.
-  * **dw3×3 stays on the VPU.**  The inference trick (dw ∘ pw2 as one
-    MXU matmul) is illegal here — BN2 sits between them with
-    batch-dependent stats — so u2 = Σ_t w_t ⊙ roll_t(y) runs as 9
-    masked FMAs.
+  * **dw3×3 rides the MXU via a diag-expanded weight.**  The inference
+    trick (dw ∘ pw2 as one matmul) is illegal here — BN2 sits between
+    them with batch-dependent stats — but u2 = Σ_t w_t ⊙ roll_t(y) is
+    still one MXU matmul against the stacked taps with the (mid, 9·mid)
+    block-diagonal expansion diag(w_t) per tap block (per-tap VPU FMAs
+    measured the stage-2 span into a net LOSS vs XLA).
   * **Backward recomputes the span forward from saved block inputs**
     (one (nblk, C, N) residual per program — the same activation
     volume XLA's autodiff would save) using the saved ghost stats, then
     backprops: BN backward needs only within-group reductions (the
     ghost-BN payoff — a full-batch BN backward would need the same
     global syncs as forward), dX via transposed matmuls + reversed
-    masked rolls, dW via MXU matmuls (du1 xᵀ, du3 vᵀ) and per-tap lane
-    reductions, accumulated across the sequential grid into
-    constant-index output blocks.
+    masked rolls, dW via MXU matmuls (du1 xᵀ, du3 vᵀ, du2 ystackᵀ —
+    the last returned as the full (mid, 9·mid) product whose eye-mask
+    construction VJP extracts the per-tap diagonals), accumulated
+    across the sequential grid into constant-index output blocks.
 
 Numeric contract: with the group equal to the full batch, ghost ≡
 full-batch BN and the whole custom-VJP span matches linen
@@ -162,7 +165,6 @@ def _block_fwd(x, wa_ref, wdw_ref, gb_ref, w2t_ref, geom, n, w, m, dtype):
     c = x.shape[0]
     mid = c // 2
     gb = gb_ref[...]                                 # (mid, 8) acc
-    wdw = wdw_ref[...]                               # (mid, 16) acc
 
     a = _mmc(wa_ref[...], x, dtype)                  # (c, N) f32
     u1 = a[:mid]
@@ -171,10 +173,13 @@ def _block_fwd(x, wa_ref, wdw_ref, gb_ref, w2t_ref, geom, n, w, m, dtype):
     y = jnp.maximum((u1 - mu1) * (sinv1 * gb[:, 0:1]) + gb[:, 1:2],
                     0.0).astype(dtype)
 
-    taps = _roll_taps(y, valid, n, w, dtype)
-    u2 = jnp.zeros_like(u1)
-    for t in range(9):
-        u2 = u2 + wdw[:, t:t + 1] * taps[t].astype(acc)
+    # depthwise conv as ONE MXU matmul over the tap stack with the
+    # diag-expanded (mid, 9·mid) weight (u2_c = Σ_t w_t,c·tap_t,c;
+    # off-diagonal blocks are zero).  Per-tap VPU FMAs measured the
+    # stage-2 span into a LOSS vs XLA; the MXU form mirrors the
+    # inference kernel's composed-matmul structure.
+    ystack = jnp.concatenate(_roll_taps(y, valid, n, w, dtype), 0)
+    u2 = _mmc(wdw_ref[...], ystack, dtype)           # (mid, N)
     mu2, var2, sinv2 = _masked_stats(u2, maskf, m)
     v = ((u2 - mu2) * (sinv2 * gb[:, 2:3]) + gb[:, 3:4]).astype(dtype)
 
@@ -211,14 +216,14 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
     """One block's backward: recompute the forward from the saved block
     input + ghost stats, then backprop.  dy (c,N) f32 lane-masked,
     x (c,N) dtype, st (mid,16) f32 → (dx (c,N) f32, dwa_top (mid,c),
-    ddw (mid,16), dw2t (mid,mid), dgb (mid,8))."""
+    dwdwx (mid, 9·mid) cotangent of the diag-expanded dw weight,
+    dw2t (mid,mid), dgb (mid,8))."""
     lane_valid, valid = geom
     acc = _acc_t(dtype)
     maskf = lane_valid.astype(acc)
     c = x.shape[0]
     mid = c // 2
     gb = gb_ref[...]
-    wdw = wdw_ref[...]
 
     # ---- recompute (same op sequence as _block_fwd, saved stats)
     a = _mmc(wa_ref[...], x, dtype)
@@ -229,10 +234,8 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
     xhat1 = (u1 - mu1) * sinv1
     bn1 = xhat1 * gb[:, 0:1] + gb[:, 1:2]
     y = jnp.maximum(bn1, 0.0).astype(dtype)
-    taps = _roll_taps(y, valid, n, w, dtype)
-    u2 = jnp.zeros_like(u1)
-    for t in range(9):
-        u2 = u2 + wdw[:, t:t + 1] * taps[t].astype(acc)
+    ystack = jnp.concatenate(_roll_taps(y, valid, n, w, dtype), 0)
+    u2 = _mmc(wdw_ref[...], ystack, dtype)
     xhat2 = (u2 - mu2) * sinv2
     v = (xhat2 * gb[:, 2:3] + gb[:, 3:4]).astype(dtype)
     u3 = _mmc(w2t_ref[...], v, dtype)
@@ -250,17 +253,25 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
     dv = _mmc(w2_ref[...], du3, dtype)
     du2, dg2, db2 = _bn_bwd(dv, xhat2, gb[:, 2:3], sinv2, maskf, m)
 
-    ddw_cols = []
-    dyy = jnp.zeros_like(du2)
+    # dw grads and dy both as MXU matmuls: dwdwx = du2 @ ystackᵀ (the
+    # full (mid, 9·mid) product — the wrapper's eye-mask construction
+    # VJP extracts the per-tap diagonals); dy = same expanded weight
+    # against the reverse-rolled, validity-masked du2 stack
+    du2d = du2.astype(dtype)
+    rstack = []
     for t in range(9):
         dy_, dx_ = t // 3 - 1, t % 3 - 1
         off = dy_ * w + dx_
-        ddw_cols.append(jnp.sum(du2 * taps[t].astype(acc),
-                                axis=1, keepdims=True))    # (mid, 1)
-        contrib = jnp.where(valid[t], du2, 0.0)
-        dyy = dyy + wdw[:, t:t + 1] * pltpu.roll(contrib, off % n, 1)
-    ddw = jnp.concatenate(ddw_cols + [jnp.zeros((mid, 7), acc)],
-                          1)                               # (mid, 16)
+        contrib = jnp.where(valid[t], du2d, jnp.asarray(0, dtype))
+        if dtype == jnp.bfloat16:
+            pk = pltpu.bitcast(contrib, jnp.float32)
+            contrib = pltpu.bitcast(pltpu.roll(pk, off % n, 1), dtype)
+        else:
+            contrib = pltpu.roll(contrib, off % n, 1)
+        rstack.append(contrib)
+    dyy = _mmc(wdw_ref[...], jnp.concatenate(rstack, 0), dtype)
+    dwdwx = lax.dot_general(du2d, ystack, (((1,), (1,)), ((), ())),
+                            preferred_element_type=acc)    # (mid, 9mid)
 
     gy = jnp.where(bn1 > 0.0, dyy, 0.0)
     du1, dg1, db1 = _bn_bwd(gy, xhat1, gb[:, 0:1], sinv1, maskf, m)
@@ -272,13 +283,13 @@ def _block_bwd(dy, x, st, wa_ref, wdw_ref, gb_ref, w2t_ref, wat_ref,
                               preferred_element_type=acc)          # (mid,c)
     dgb = jnp.concatenate([dg1, db1, dg2, db2, dg3, db3,
                            jnp.zeros((mid, 2), acc)], 1)   # (mid,8)
-    return dx, dwa_top, ddw, dw2t, dgb
+    return dx, dwa_top, dwdwx, dw2t, dgb
 
 
 def _span_train_bwd_kernel(dy_ref, xsave_ref, stats_ref, *refs, nblk, h,
                            w, nimg, m, dtype):
     """Backward span.  Outputs: dx (1,c,N) f32 per grid step, plus
-    grid-accumulated dwa (nblk,mid,c), ddw (nblk,mid,16),
+    grid-accumulated dwa (nblk,mid,c), dwdwx (nblk,mid,9·mid),
     dw2t (nblk,mid,mid), dgb (nblk,mid,8) — f32, constant index maps,
     zero-initialized on the first grid step."""
     dx_ref = refs[-5]
@@ -361,11 +372,12 @@ def _bwd_call(dyt, xsave, stats, flat_wb, nblk, h, w, nimg, c, m, dtype,
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(flat_wb),
         out_specs=[pl.BlockSpec((1, c, n), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   acc(nblk, mid, c), acc(nblk, mid, 16),
+                   acc(nblk, mid, c), acc(nblk, mid, 9 * mid),
                    acc(nblk, mid, mid), acc(nblk, mid, 8)],
         out_shape=[jax.ShapeDtypeStruct((bg, c, n), _acc_t(dtype)),
                    jax.ShapeDtypeStruct((nblk, mid, c), _acc_t(dtype)),
-                   jax.ShapeDtypeStruct((nblk, mid, 16), _acc_t(dtype)),
+                   jax.ShapeDtypeStruct((nblk, mid, 9 * mid),
+                                        _acc_t(dtype)),
                    jax.ShapeDtypeStruct((nblk, mid, mid), _acc_t(dtype)),
                    jax.ShapeDtypeStruct((nblk, mid, 8), _acc_t(dtype))],
         interpret=interpret,
@@ -386,7 +398,10 @@ def make_span_train(nblk: int, h: int, w: int, nimg: int, c: int,
            wa (c, c)      merged first matmul (odd-select∘pw1 on top,
                           even passthrough below — fold.pack_s1_block's
                           structure, unfolded),
-           wdw (mid, 16)  dw3×3 taps, columns 0–8 (t = ky·3+kx),
+           wdw (mid, 9·mid) dw3×3 taps DIAG-EXPANDED (column block t =
+                          diag(w_t); built as eye·w so its VJP folds
+                          the kernel's full du2@ystackᵀ product back to
+                          the 9 per-tap diagonals),
            gb (mid, 8)    columns [γ1,β1,γ2,β2,γ3,β3,0,0],
            w2t (mid, mid) pw2ᵀ,
       out (B/g, c, g·nimg) dtype,

@@ -62,7 +62,7 @@ def _geo_table(meta, anchors, npad):
 
 def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
                 iou_thres=0.45, max_det=300, max_nms=1024,
-                nms_kernel=None, _upto=None):
+                nms_kernel=None, fused=None, _upto=None):
     """Decode + NMS on a raw 6-tuple of head outputs — top-k-first.
 
     Equal output to `postprocess_dense` (the reference chain,
@@ -98,6 +98,14 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     noise of the XLA fixpoint at serving windows, kept as the TPU
     default for VMEM residency/scheduling isolation — see that module's
     header); None → auto (True on the TPU backend).
+
+    fused: run serving-shaped windows through the fully fused
+    rank→decode→NMS Pallas kernel (exact-equal to the staged path; see
+    the dispatch comment below for the shape/precision bounds).  None →
+    auto (take it whenever the bounds hold); False → force the staged
+    path (perf diagnosis — tools/pp_breakdown.py times both so the last
+    differenced row does not conflate the path switch with compaction
+    cost).
 
     _upto: perf-diagnostic truncation (tools/pp_breakdown.py), mirroring
     build_fused_forward's `upto`: "scores" returns after the per-scale
@@ -164,8 +172,11 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
     # so large-n windows also take the staged path.  The bound is the
     # largest hardware-validated shape family (k=384 × npad=1920).
     npad128 = (n + 127) // 128 * 128
-    if (nms_kernel and _upto is None and k <= 384 and k % 128 == 0
-            and n * nc < 2 ** 23 and k * npad128 <= 384 * 1920):
+    if fused is None:
+        fused = (nms_kernel and _upto is None and k <= 384
+                 and k % 128 == 0 and n * nc < 2 ** 23
+                 and k * npad128 <= 384 * 1920)
+    if fused:
         from fastdet.kernels.pp_fused import rank_decode_nms
         from fastdet.kernels.nms_kernel import compact_ranked
         neg_s2, combo_s2 = lax.sort((-ranked, combo), dimension=1,

@@ -31,6 +31,9 @@ from jax import lax
 from fastdet.kernels.fused_train import (combine_ghost_stats,
                                          make_span_train,
                                          pick_train_group)
+from fastdet.kernels.stem_train import (combine_stem_stats,
+                                        make_stem_train,
+                                        pack_stem_weights_traced)
 
 _EPS = 1e-5
 _MOMENTUM = 0.9
@@ -119,8 +122,9 @@ def _pack_span_ws(bb_p, stage: int, reps: int, c: int):
         acc = jnp.promote_types(jnp.float32, w1.dtype)
         wa = jnp.concatenate([(sel_odd.astype(acc) @ w1).T,
                               sel_even.astype(acc)], 0)
+        eye = jnp.eye(mid, dtype=acc)
         wdw = jnp.concatenate(
-            [kdw.reshape(9, mid).T, jnp.zeros((mid, 7), acc)], 1)
+            [eye * kdw[t // 3, t % 3][None, :] for t in range(9)], 1)
         gcols = []
         for name in ("main_pw", "main_dw", "main_pw_linear"):
             gcols += [blk[name]["bn"]["scale"][:, None],
@@ -150,28 +154,83 @@ def _span_stage_stats(stats, bb_s, stage: int, reps: int):
     return new
 
 
+def _s1_block_xla(x, p, s, dtype):
+    """Stride-1 ShuffleV2 block, train mode, plain XLA (exact full-batch
+    BN) — used for span stages where the Pallas kernel measured no win
+    (see build_fused_train_apply's span_stages)."""
+    new = {}
+    xe, xo = x[..., 0::2], x[..., 1::2]
+    y, new["main_pw"] = _convbn(xo, p["main_pw"], s["main_pw"], dtype)
+    y, new["main_dw"] = _convbn(y, p["main_dw"], s["main_dw"], dtype,
+                                groups=y.shape[-1], relu=False)
+    y, new["main_pw_linear"] = _convbn(y, p["main_pw_linear"],
+                                       s["main_pw_linear"], dtype)
+    return jnp.concatenate([xe, y], -1), new
+
+
 def build_fused_train_apply(input_hw: Tuple[int, int],
                             dtype=jnp.bfloat16,
-                            interpret: bool = False):
-    """Returns `apply_fn(params, batch_stats, x_normalized) ->
+                            interpret: bool = False,
+                            input_format: str = "nhwc",
+                            stem_group: int = None,
+                            span_stages: Tuple[int, ...] = (2, 3, 4)):
+    """Returns `apply_fn(params, batch_stats, images) ->
     (outputs 6-tuple, new_batch_stats)` — the fused-backbone train
-    forward.  x is (B, H, W, 3), already /255-normalized, any float
-    dtype (cast inside)."""
+    forward.
+
+    input_format:
+      * "nhwc"   — images (B, H, W, 3) uint8; /255 + XLA stem with exact
+        full-batch BN.
+      * "s2d_u8" — images (B, 48, pad128(H/4·W/4)) uint8 from
+        `fastdet.kernels.fused_infer.pack_images_s2d` (host layout);
+        the stem runs as the fused custom-VJP Pallas kernel
+        (fastdet/kernels/stem_train.py: conv+ghost-BN+ReLU+pool forward
+        and backward, /255 folded into the packed weights — the
+        breakdown's single largest train cost).
+    stem_group: ghost-BN group for the fused stem.  Default 1 — the
+    single-pass per-image kernel (stats over one image's 4·(H/4·W/4)
+    conv samples, ~31k/channel at 352²), which measured ~2× the grouped
+    2-pass form; pass a larger divisor of B for group stats.
+    span_stages: which backbone stages run their stride-1 spans as the
+    Pallas custom-VJP kernels (others take exact-BN XLA blocks)."""
+    if input_format not in ("nhwc", "s2d_u8"):
+        raise ValueError(f"unknown input_format {input_format!r}")
     ih, iw = input_hw
     h4, w4 = ih // 4, iw // 4
+    hw4 = h4 * w4
+    npad4 = (hw4 + 127) // 128 * 128
 
-    def apply_fn(params, batch_stats, x):
-        b = x.shape[0]
+    def apply_fn(params, batch_stats, images):
+        b = images.shape[0]
         bb_p, bb_s = params["backbone"], batch_stats["backbone"]
         new_bb: Dict[str, Any] = {}
 
-        # stem: conv3x3 s2 + BN + ReLU + maxpool3x3 s2
-        x, new_bb["first_conv"] = _convbn(x, bb_p["first_conv"],
-                                          bb_s["first_conv"], dtype,
-                                          stride=2)
-        x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1),
-                              [(0, 0), (1, 1), (1, 1), (0, 0)])
+        if input_format == "s2d_u8":
+            g = 1 if stem_group is None else stem_group
+            stem_op = make_stem_train(h4, w4, npad4, g, dtype=dtype,
+                                      interpret=interpret)
+            fc = bb_p["first_conv"]
+            wp = pack_stem_weights_traced(fc["conv"]["kernel"])
+            gv = jnp.tile(fc["bn"]["scale"], 4)[:, None]
+            bv = jnp.tile(fc["bn"]["bias"], 4)[:, None]
+            y, stats = stem_op(images, wp, gv, bv)
+            mean, var = combine_stem_stats(lax.stop_gradient(stats))
+            old = bb_s["first_conv"]["bn"]
+            new_bb["first_conv"] = {"bn": {
+                "mean": _MOMENTUM * old["mean"] + (1 - _MOMENTUM) * mean,
+                "var": _MOMENTUM * old["var"] + (1 - _MOMENTUM) * var}}
+            x = (y[:, :, :hw4].transpose(0, 2, 1)
+                 .reshape(b, h4, w4, 24))
+        else:
+            x = (images.astype(dtype)
+                 / jnp.asarray(255.0, dtype))
+            # stem: conv3x3 s2 + BN + ReLU + maxpool3x3 s2
+            x, new_bb["first_conv"] = _convbn(x, bb_p["first_conv"],
+                                              bb_s["first_conv"], dtype,
+                                              stride=2)
+            x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
+                                  (1, 2, 2, 1),
+                                  [(0, 0), (1, 1), (1, 1), (0, 0)])
 
         feats = {}
         h, w = h4, w4
@@ -182,20 +241,28 @@ def build_fused_train_apply(input_hw: Tuple[int, int],
             x, new_bb[f"stage{stage}_0"] = _s2_block(
                 x, bb_p[f"stage{stage}_0"], bb_s[f"stage{stage}_0"],
                 dtype)
-            g = pick_train_group(b, nimg, c)
-            span = make_span_train(reps - 1, h, w, nimg, c, g,
-                                   dtype=dtype, interpret=interpret)
-            ws = _pack_span_ws(bb_p, stage, reps, c)
-            xt = x.reshape(b, hw, c)
-            xt = jnp.pad(xt, ((0, 0), (0, nimg - hw), (0, 0)))
-            xt = xt.transpose(0, 2, 1).reshape(b // g, g, c, nimg)
-            xt = xt.transpose(0, 2, 1, 3).reshape(b // g, c, g * nimg)
-            out_t, stats = span(xt.astype(dtype), ws)
-            new_bb.update(_span_stage_stats(
-                lax.stop_gradient(stats), bb_s, stage, reps))
-            xu = out_t.reshape(b // g, c, g, nimg).transpose(0, 2, 1, 3)
-            x = (xu.reshape(b, c, nimg)[:, :, :hw]
-                 .transpose(0, 2, 1).reshape(b, h, w, c))
+            if stage in span_stages:
+                g = pick_train_group(b, nimg, c)
+                span = make_span_train(reps - 1, h, w, nimg, c, g,
+                                       dtype=dtype, interpret=interpret)
+                ws = _pack_span_ws(bb_p, stage, reps, c)
+                xt = x.reshape(b, hw, c)
+                xt = jnp.pad(xt, ((0, 0), (0, nimg - hw), (0, 0)))
+                xt = xt.transpose(0, 2, 1).reshape(b // g, g, c, nimg)
+                xt = xt.transpose(0, 2, 1, 3).reshape(b // g, c,
+                                                      g * nimg)
+                out_t, stats = span(xt.astype(dtype), ws)
+                new_bb.update(_span_stage_stats(
+                    lax.stop_gradient(stats), bb_s, stage, reps))
+                xu = (out_t.reshape(b // g, c, g, nimg)
+                      .transpose(0, 2, 1, 3))
+                x = (xu.reshape(b, c, nimg)[:, :, :hw]
+                     .transpose(0, 2, 1).reshape(b, h, w, c))
+            else:
+                for i in range(1, reps):
+                    x, new_bb[f"stage{stage}_{i}"] = _s1_block_xla(
+                        x, bb_p[f"stage{stage}_{i}"],
+                        bb_s[f"stage{stage}_{i}"], dtype)
             feats[stage] = x
 
         # FPN + shared heads (linen LightFPN / Detector semantics)

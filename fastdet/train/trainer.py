@@ -81,22 +81,26 @@ def make_train_step(model, tx, schedule: Callable, anchors: jnp.ndarray,
     pass `fastdet.parallel.tp.state_shardings(...)` on a (data, model)
     mesh for tensor-parallel channel sharding; default replicates.
 
-    `apply_fn(params, batch_stats, x) -> (outputs, new_batch_stats)`:
-    optional train-forward override — the fused-backbone mode passes
-    `fastdet.train.fused_forward.build_fused_train_apply(...)` here;
-    default is the linen `model.apply` train path.
+    `apply_fn(params, batch_stats, images) -> (outputs,
+    new_batch_stats)`: optional train-forward override taking the RAW
+    uint8 batch (normalization is the forward's own business — the
+    fused s2d stem folds /255 into its packed weights); the
+    fused-backbone mode passes
+    `fastdet.train.fused_forward.build_fused_train_apply(...)` here.
+    Default is /255 + the linen `model.apply` train path.
     """
 
     if apply_fn is None:
-        def apply_fn(params, batch_stats, x):
+        def apply_fn(params, batch_stats, images):
+            x = (images.astype(compute_dtype)
+                 / jnp.asarray(255.0, compute_dtype))
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=True, mutable=["batch_stats"])
             return outputs, mutated["batch_stats"]
 
     def loss_fn(params, batch_stats, images, labels, label_mask, anchors):
-        x = images.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
-        outputs, new_stats = apply_fn(params, batch_stats, x)
+        outputs, new_stats = apply_fn(params, batch_stats, images)
         total, comps = loss_fn_impl(outputs, labels, label_mask, anchors,
                                     input_hw)
         return total, (comps, new_stats)
@@ -155,7 +159,8 @@ class Trainer:
                  mesh: Optional[Mesh] = None, subdivisions: Optional[int] = None,
                  compute_dtype=jnp.float32,
                  loss_fn: Callable = compute_loss,
-                 fused_backbone: bool = False):
+                 fused_backbone: bool = False,
+                 fused_input_format: str = "nhwc"):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
@@ -173,7 +178,8 @@ class Trainer:
             from fastdet.train.fused_forward import build_fused_train_apply
             apply_fn = build_fused_train_apply(
                 (cfg.height, cfg.width), dtype=compute_dtype,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                input_format=fused_input_format)
         self._make_step = functools.partial(
             make_train_step, model, self.tx, self.schedule, self.anchors,
             (cfg.height, cfg.width),

@@ -70,9 +70,9 @@ def _pack_ws(ps, c):
     for (W1, Kdw, W2, g1, b1, g2, b2, g3, b3) in ps:
         wa = jnp.concatenate([(jnp.asarray(sel_odd) @ W1).T,
                               jnp.asarray(sel_even)], 0)
+        eye = jnp.eye(mid, dtype=jnp.float32)
         wdw = jnp.concatenate(
-            [Kdw[:, :, 0, :].reshape(9, mid).T,
-             jnp.zeros((mid, 7), jnp.float32)], 1)
+            [eye * Kdw[t // 3, t % 3, 0][None, :] for t in range(9)], 1)
         gb = jnp.concatenate(
             [a[:, None] for a in (g1, b1, g2, b2, g3, b3)]
             + [jnp.zeros((mid, 2), jnp.float32)], 1)

@@ -91,20 +91,29 @@ def main():
             ts.append(time.perf_counter() - t0 - fetch_s)
         return min(ts) / (chain * b) * 1e6               # µs/img
 
-    def make(upto):
+    def make(upto, fused=None):
         def fn(im, p, a):
             outs = list(fwd(im, p))
             if upto == "fwd":
                 return outs
             return postprocess(outs, a, hw, conf_thres=args.conf,
                                iou_thres=args.iou, max_nms=args.max_nms,
-                               _upto=None if upto == "full" else upto)
+                               fused=fused,
+                               _upto=None if upto.startswith("full")
+                               else upto)
         return fn
 
+    # the cumulative prefixes (_upto != None) always run the STAGED
+    # path, so "full" is timed twice: staged-forced (differenced vs
+    # "keep" = pure compaction cost on the same path) and fused (the
+    # serving default — differenced vs full_staged, i.e. the row shows
+    # the PATH SWITCH delta, negative when the fused kernel wins)
     rows = []
     prev = 0.0
-    for upto in ("fwd", "scores", "prep", "sorted", "decoded", "keep", "full"):
-        cum = timed(make(upto))
+    for upto in ("fwd", "scores", "prep", "sorted", "decoded", "keep",
+                 "full_staged", "full_fused"):
+        fused = {"full_staged": False, "full_fused": True}.get(upto)
+        cum = timed(make(upto, fused))
         rows.append({"stage": upto, "cumulative_us": round(cum, 3),
                      "stage_us": round(cum - prev, 3)})
         prev = cum

@@ -344,6 +344,46 @@ def entry_train_fused_vjp(ctx):
                   ["var"])
 
 
+def entry_train_fused_stem(ctx):
+    """Fused custom-VJP training STEM (s2d input): conv+ghost-BN+ReLU+
+    pool forward, pool-routed backward, full value_and_grad."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fastdet.train.fused_forward import build_fused_train_apply
+    from fastdet.train.loss import compute_loss
+    apply_fn = build_fused_train_apply((352, 352), dtype=jnp.bfloat16,
+                                       input_format="s2d_u8")
+    params = ctx["variables"]["params"]
+    stats = ctx["variables"]["batch_stats"]
+    b = 16
+    npad = (88 * 88 + 127) // 128 * 128
+    labels = np.zeros((b, 8, 5), np.float32)
+    labels[:, 0, :] = [1, 0.5, 0.5, 0.3, 0.3]
+    mask = np.zeros((b, 8), bool)
+    mask[:, 0] = True
+    labels, mask = jnp.asarray(labels), jnp.asarray(mask)
+
+    @jax.jit
+    def step(params, stats, imgs, labels, mask, anc):
+        def loss_fn(p):
+            outs, new_stats = apply_fn(p, stats, imgs)
+            total, comps = compute_loss(outs, labels, mask, anc,
+                                        (352, 352))
+            return total, new_stats
+        (total, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return total, grads, new_stats
+
+    imgs = _randu8((b, 48, npad), seed=7)
+    total, grads, new_stats = step(params, stats, imgs, labels, mask,
+                                   ctx["anchors"])
+    _finite_fetch(total)
+    _finite_fetch(grads["backbone"]["first_conv"]["conv"]["kernel"])
+    _finite_fetch(grads["backbone"]["first_conv"]["bn"]["scale"])
+    _finite_fetch(new_stats["backbone"]["first_conv"]["bn"]["var"])
+
+
 class SkipEntry(Exception):
     pass
 
@@ -361,6 +401,7 @@ ENTRIES = [
     ("int8_chain", entry_int8_chain),
     ("anchorfree_fused", entry_anchorfree_fused),
     ("train_fused_vjp", entry_train_fused_vjp),
+    ("train_fused_stem", entry_train_fused_stem),
 ]
 
 
