@@ -250,11 +250,15 @@ def postprocess(outputs, anchors, input_hw, *, conf_thres=0.3,
 
 def build_detect_fn(model, cfg: Config, *, conf_thres=0.3, iou_thres=0.45,
                     max_det=300, max_nms=1024,
-                    dtype=jnp.float32) -> Callable:
+                    dtype=jnp.float32, fused=None) -> Callable:
     """Returns jitted `detect(variables, images_u8_nhwc) -> (dets, counts)`.
 
     `images_u8_nhwc` is (B,H,W,3) uint8 (BGR, matching the reference's cv2
     pipeline); normalisation by /255 happens on device inside the program.
+
+    fused: forwarded to `postprocess` — None auto-selects the fused
+    rank→decode→NMS kernel on serving windows; True/False force it
+    (tests pin fused == staged end-to-end on real images with it).
     """
     # NOTE: anchors are passed as a runtime argument, NOT baked in as a
     # compile-time constant.  Constant-broadcast multiplies against conv
@@ -273,7 +277,7 @@ def build_detect_fn(model, cfg: Config, *, conf_thres=0.3, iou_thres=0.45,
         outputs = [o.astype(jnp.float32) for o in outputs]
         return postprocess(outputs, anchors_arg, input_hw,
                            conf_thres=conf_thres, iou_thres=iou_thres,
-                           max_det=max_det, max_nms=max_nms)
+                           max_det=max_det, max_nms=max_nms, fused=fused)
 
     def detect(variables, images):
         return _detect(variables, images, anchors)

@@ -94,7 +94,9 @@ def main():
         trainer = Trainer(model, tcfg, steps_per_epoch=100,
                           compute_dtype=jnp.bfloat16,
                           fused_backbone=fused, fused_input_format=fmt)
-        state = trainer.init_state(variables)
+        # fresh param copy per path — the chained step donates its
+        # state, which would delete arrays shared with `variables`
+        state = trainer.init_state(jax.tree.map(jnp.copy, variables))
         chained = trainer.make_chained_step(chain)
 
         state_box = [state]

@@ -384,6 +384,40 @@ def entry_train_fused_stem(ctx):
     _finite_fetch(new_stats["backbone"]["first_conv"]["bn"]["var"])
 
 
+def entry_golden_pp_fused(ctx):
+    """Golden-image CORRECTNESS on hardware: the reference photo
+    000139.jpg through the f32 linen forward + the fused
+    rank→decode→NMS serving kernel must reproduce the pinned golden
+    detections (3 boxes; person ≈ [119.9, 56.3, 186.0, 182.3] conf
+    0.87 cls 0 — tests/test_cli.py's golden, reference test.py on
+    img/000139.jpg).  The CPU-side twin is
+    tests/test_eval_e2e_parity.py::test_fused_serving_path_eval_equal."""
+    import cv2
+    import numpy as np
+    import jax.numpy as jnp
+    from fastdet.models import Detector
+    from fastdet.ops.postprocess import build_detect_fn
+    img_path = os.path.join(
+        os.environ.get("FASTDET_REFERENCE", "/root/reference"),
+        "img", "000139.jpg")
+    if not os.path.exists(img_path):
+        raise SkipEntry("reference golden image unavailable")
+    cfg = ctx["cfg"]
+    img = cv2.resize(cv2.imread(img_path), (cfg.width, cfg.height),
+                     interpolation=cv2.INTER_LINEAR)
+    detect = build_detect_fn(Detector(classes=cfg.classes,
+                                      anchor_num=cfg.anchor_num),
+                             cfg, conf_thres=0.3, iou_thres=0.4,
+                             max_nms=256, fused=True)
+    dets, counts = detect(ctx["variables"], jnp.asarray(img[None]))
+    n = int(np.asarray(counts)[0])
+    d = np.asarray(dets)[0, :n]
+    assert n == 3, f"golden count {n} != 3"
+    assert np.allclose(d[0][:4], [119.9, 56.3, 186.0, 182.3],
+                       atol=0.75), d[0]
+    assert abs(d[0][4] - 0.870) < 0.02 and int(d[0][5]) == 0, d[0]
+
+
 class SkipEntry(Exception):
     pass
 
@@ -402,6 +436,7 @@ ENTRIES = [
     ("anchorfree_fused", entry_anchorfree_fused),
     ("train_fused_vjp", entry_train_fused_vjp),
     ("train_fused_stem", entry_train_fused_stem),
+    ("golden_pp_fused", entry_golden_pp_fused),
 ]
 
 
