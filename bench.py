@@ -25,6 +25,7 @@ import os
 import subprocess
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -504,7 +505,11 @@ def main():
     def sec_train():
         from fastdet.train.trainer import Trainer
         # swept: b64 4.4k, b128 7.45k, b256 7.0k, b512 6.0k img/s —
-        # the same b128 optimum as the serving paths
+        # the same b128 optimum as the serving paths.  The recorded
+        # path is the custom-VJP fused backbone + s2d stem (measured
+        # 80.2 vs 92.3 µs/img XLA, docs/PERF.md §2); if its kernels
+        # fail on this backend the section falls back to the default
+        # XLA path and labels itself accordingly.
         tb, tk = 128, 32
         tcfg = Config.from_dict({
             "classes": cfg.classes, "width": cfg.width,
@@ -514,30 +519,45 @@ def main():
             "batch_size": tb, "epochs": 1})
         model_t = Detector(classes=cfg.classes, anchor_num=cfg.anchor_num,
                            dtype=jnp.bfloat16)
-        trainer = Trainer(model_t, tcfg, steps_per_epoch=100,
-                          compute_dtype=jnp.bfloat16)
-        tstate = trainer.init_state(jax.tree.map(
-            lambda x: jnp.asarray(x, jnp.float32), variables))
-        chained = trainer.make_chained_step(tk)
-        timgs = dev_randu8((tk, tb, cfg.height, cfg.width, 3), seed=4)
-        timgs.block_until_ready()
         tlabs = np.zeros((tk, tb, 8, 5), np.float32)
         tlabs[..., 0, :] = [1, 0.5, 0.5, 0.3, 0.3]
         tmask = np.zeros((tk, tb, 8), bool)
         tmask[..., 0] = True
         tlabs, tmask = jnp.asarray(tlabs), jnp.asarray(tmask)
+        npad4 = ((cfg.height // 4) * (cfg.width // 4) + 127) // 128 * 128
 
-        def tdispatch():
-            nonlocal tstate
-            tstate, mk = chained(tstate, timgs, tlabs, tmask)
-            return mk
-        tdt = timed_min(tdispatch,
-                        lambda mk: jax.device_get(mk["total"][-1:]), 3)
-        return round(tk * tb / tdt, 1)
+        def measure(fused):
+            trainer = Trainer(
+                model_t, tcfg, steps_per_epoch=100,
+                compute_dtype=jnp.bfloat16, fused_backbone=fused,
+                fused_input_format="s2d_u8" if fused else "nhwc")
+            tstate = trainer.init_state(jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.float32), variables))
+            chained = trainer.make_chained_step(tk)
+            shape = ((tk, tb, 48, npad4) if fused
+                     else (tk, tb, cfg.height, cfg.width, 3))
+            timgs = dev_randu8(shape, seed=4)
+            timgs.block_until_ready()
+            box = [tstate]
 
-    train_img_s = run_section(
+            def tdispatch():
+                box[0], mk = chained(box[0], timgs, tlabs, tmask)
+                return mk
+            tdt = timed_min(tdispatch,
+                            lambda mk: jax.device_get(mk["total"][-1:]),
+                            3)
+            return round(tk * tb / tdt, 1)
+
+        try:
+            return measure(True), "fused_vjp+s2d_stem"
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            return measure(False), "xla"
+
+    _tr = run_section(
         "train", sec_train,
         enabled=os.environ.get("FASTDET_BENCH_TRAIN", "1") == "1")
+    train_img_s, train_path = _tr if _tr else (None, None)
 
     # The newest device path runs LAST: a TPU-worker crash then costs
     # only this secondary field, never the flagship serving/train
@@ -568,6 +588,7 @@ def main():
         "host_load1": (round(load1, 2) if load1 is not None else None),
         "fast_decode": fast_decode,
         "train_img_s": train_img_s,
+        "train_path": train_path,
         "kernel_path": "pallas_fused_transposed+s2d_stem",
         "input_format": "s2d_u8",
         "backend": jax.default_backend(),

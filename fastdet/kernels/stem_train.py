@@ -480,9 +480,18 @@ def make_stem_train(h4: int, w4: int, npad: int, group: int,
         b = x.shape[0]
         kern = functools.partial(_stem_train_bwd1_kernel, w=w4, hw=hw,
                                  m=m, dtype=dtype)
+        # Mosaic's conservative stack accounting for this program (tap
+        # stack + x̂ + routed gy + du live ranges at 352²: npad 7808)
+        # lands at 16.2 MB — just over the 16 MB default scoped-vmem
+        # limit (v5e VMEM is 128 MB; the default is a scheduling
+        # heuristic, not the hardware).  Grant it 32 MB: one image's
+        # blocks are still < 1 MB so double-buffered grid DMA is
+        # unaffected.
         return pl.pallas_call(
             kern,
             grid=(b,),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
             in_specs=[pl.BlockSpec((1, 24, npad), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, 48, npad), lambda i: (i, 0, 0),
