@@ -32,6 +32,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Point JAX at the repo-local persistent compile cache.
+
+    The bench's programs (serving chain, 640 stem, train step, int8
+    chain) cost 15-60 s of XLA compile each on a cold process; under a
+    loaded dev tunnel the remote-compile helper has been observed to
+    take >15 min (the r5 int8-child 900 s timeout).  A warm on-disk
+    cache makes every section's compile near-instant and removes that
+    failure mode.  Directory is gitignored (.jax_cache_tpu); disable
+    with FASTDET_BENCH_CACHE=0."""
+    if os.environ.get("FASTDET_BENCH_CACHE", "1") != "1":
+        return
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def _int8_child_main():
     """Child-process body for the int8 section (`bench.py --int8-child`).
 
@@ -41,6 +61,7 @@ def _int8_child_main():
     a FRESH process, FIRST, isolates it both ways: it sees a clean
     device, and a fault in it cannot poison the parent's sections.
     Prints one JSON line {"int8_img_s": N} on success."""
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -108,26 +129,36 @@ def main():
                      "weights", "coco-int8.npz"))
     if (os.environ.get("FASTDET_BENCH_INT8", "1") == "1"
             and os.path.exists(_int8_art)):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--int8-child"],
-                capture_output=True, text=True,
-                timeout=float(os.environ.get(
-                    "FASTDET_BENCH_INT8_TIMEOUT", "900")))
-            for line in reversed(proc.stdout.strip().splitlines()):
-                try:
-                    int8_img_s = json.loads(line)["int8_img_s"]
-                    break
-                except (json.JSONDecodeError, KeyError):
-                    continue
-            if int8_img_s is None:
-                section_errors["int8"] = (
-                    f"child rc={proc.returncode}: "
-                    + (proc.stderr or "")[-140:])
-        except Exception as e:  # noqa: BLE001 — secondary metric
-            section_errors["int8"] = repr(e)[:160]
+        # 2 attempts: the r5 timeout post-mortem found the child healthy
+        # in isolation (24 s) but >900 s under a transiently-loaded dev
+        # tunnel — a fresh attempt (with the compile cache now warm from
+        # the first one) recovers that case.
+        for _attempt in range(int(os.environ.get(
+                "FASTDET_BENCH_INT8_ATTEMPTS", "2"))):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--int8-child"],
+                    capture_output=True, text=True,
+                    timeout=float(os.environ.get(
+                        "FASTDET_BENCH_INT8_TIMEOUT", "600")))
+                for line in reversed(proc.stdout.strip().splitlines()):
+                    try:
+                        int8_img_s = json.loads(line)["int8_img_s"]
+                        break
+                    except (json.JSONDecodeError, KeyError):
+                        continue
+                if int8_img_s is None:
+                    section_errors["int8"] = (
+                        f"child rc={proc.returncode}: "
+                        + (proc.stderr or "")[-140:])
+            except Exception as e:  # noqa: BLE001 — secondary metric
+                section_errors["int8"] = repr(e)[:160]
+            if int8_img_s is not None:
+                section_errors.pop("int8", None)
+                break
 
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
