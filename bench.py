@@ -99,7 +99,7 @@ def _int8_child_main():
             outs = list(fwd_q(im, weights))
             return None, postprocess(outs, anchors_arg, hw,
                                      conf_thres=0.3, iou_thres=0.4,
-                                     max_nms=256)
+                                     max_nms=128)
         return jax.lax.scan(body, None, images_k)[1]
 
     qb, qk = 128, 32
@@ -261,13 +261,14 @@ def main():
                                       input_format="s2d_u8")
     npad = ((cfg.height // 4) * (cfg.width // 4) + 127) // 128 * 128
 
-    # serving-tuned: conf 0.3 rarely yields >100 candidates per image, so
-    # a 256-candidate NMS window is lossless in practice and cheaper than
-    # the eval-grade 2048 window
+    # serving-tuned: across the 500-image derived val set + golden the
+    # max pre-NMS candidate count at conf 0.3 is 37 (p99 34), so the
+    # 128 window is output-identical to 256/2048 with 3.5× headroom and
+    # measured 18.97 vs 21.33 µs/img (+12%) — docs/PERF.md §1
     def fused_detect(packed, images, anchors_arg):
         outs = list(fwd(images, packed))
         return postprocess(outs, anchors_arg, hw, conf_thres=0.3,
-                           iou_thres=0.4, max_nms=256)
+                           iou_thres=0.4, max_nms=128)
 
     # Throughput pipeline: a lax.scan chains CHAIN batches inside ONE
     # program, the way a saturated serving loop feeds the chip — this
@@ -369,7 +370,7 @@ def main():
                 outs = list(fwd6(imgs, packed))
                 return None, postprocess(outs, anchors_arg, (640, 640),
                                          conf_thres=0.3, iou_thres=0.4,
-                                         max_nms=256)
+                                         max_nms=128)
             _, outs = jax.lax.scan(body, None, images_k)
             return outs
 
@@ -478,7 +479,7 @@ def main():
         fast_decode = os.environ.get("FASTDET_BENCH_FAST_DECODE",
                                      "0") == "1"
         pipe = FusedPipeline(variables, cfg, conf_thres=0.3, iou_thres=0.4,
-                             max_nms=256, fast_decode=fast_decode)
+                             max_nms=128, fast_decode=fast_decode)
         stream = StreamingPipeline(pipe, batch_size=e2e_batch)
 
         # host-state fields so the number is interpretable (VERDICT r3

@@ -92,7 +92,7 @@ def decode_anchorfree(obj, cls, reg, input_hw: Tuple[int, int]):
 
 def build_anchorfree_detect_fn(model: AnchorFreeDetector, input_hw,
                                conf_thres=0.3, iou_thres=0.45,
-                               max_det=300, max_nms=256):
+                               max_det=300, max_nms=128):
     """Fused jitted image→detections for the anchor-free family."""
     from fastdet.ops.nms import batched_nms
 
@@ -110,7 +110,7 @@ def build_anchorfree_detect_fn(model: AnchorFreeDetector, input_hw,
 
 def build_anchorfree_fused_detect(variables, input_hw=(352, 352),
                                   conf_thres=0.3, iou_thres=0.45,
-                                  max_det=300, max_nms=256,
+                                  max_det=300, max_nms=128,
                                   dtype=jnp.bfloat16, interpret=False):
     """Pallas fused serving path for the anchor-free family:
     → (detect(packed, images_s2d_u8) → (dets, counts), packed_weights).

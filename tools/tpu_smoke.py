@@ -84,7 +84,7 @@ def _finite_fetch(x):
 
 def entry_detect352_s2d(ctx):
     """Flagship serving path @352 s2d_u8: fused stem + span kernels +
-    pp_fused rank→decode→NMS (k=256, group 4) + compact."""
+    pp_fused rank→decode→NMS (k=128, the serving default) + compact."""
     import jax
     import jax.numpy as jnp
     from fastdet.kernels.fused_infer import build_fused_forward
@@ -98,7 +98,7 @@ def entry_detect352_s2d(ctx):
     def detect(packed, imgs, anc):
         outs = [o.astype(jnp.float32) for o in fwd(imgs, packed)]
         return postprocess(outs, anc, (352, 352), conf_thres=0.3,
-                           iou_thres=0.4, max_nms=256)
+                           iou_thres=0.4, max_nms=128)
 
     imgs = _randu8((16, 48, npad))
     dets, counts = detect(packed, imgs, ctx["anchors"])
@@ -144,7 +144,8 @@ def entry_fuse_s2(ctx):
 
 
 def entry_detect640_s2d(ctx):
-    """640² serving: row-chunked fused stem + pp_fused postprocess."""
+    """640² serving: row-chunked fused stem + staged postprocess (the
+    k·npad guard keeps 640² windows off the fused pp kernel)."""
     import jax
     import jax.numpy as jnp
     from fastdet.kernels.fused_infer import build_fused_forward
@@ -157,7 +158,7 @@ def entry_detect640_s2d(ctx):
     def detect(packed, imgs, anc):
         outs = [o.astype(jnp.float32) for o in fwd(imgs, packed)]
         return postprocess(outs, anc, (640, 640), conf_thres=0.3,
-                           iou_thres=0.4, max_nms=256)
+                           iou_thres=0.4, max_nms=128)
 
     imgs = _randu8((8, 48, 160 * 160))
     dets, counts = detect(packed, imgs, ctx["anchors"])
@@ -232,8 +233,14 @@ def _pp_fused_at_k(k):
 
 
 def entry_pp_fused_k128(ctx):
-    """Fused rank→decode→NMS, latency window k=128 (group 4)."""
+    """Fused rank→decode→NMS, the serving-default window k=128."""
     _pp_fused_at_k(128)
+
+
+def entry_pp_fused_k256(ctx):
+    """Fused rank→decode→NMS, k=256 (the pre-r5 serving window; still
+    user-selectable via max_nms)."""
+    _pp_fused_at_k(256)
 
 
 def entry_pp_fused_k384(ctx):
@@ -280,7 +287,7 @@ def entry_int8_chain(ctx):
     def detect(w, imgs, anc):
         outs = list(fwd_q(imgs, w))
         return postprocess(outs, anc, (352, 352), conf_thres=0.3,
-                           iou_thres=0.4, max_nms=256)
+                           iou_thres=0.4, max_nms=128)
 
     imgs = _randu8((16, 352, 352, 3), seed=3)
     dets, counts = detect(qw, imgs, ctx["anchors"])
@@ -408,7 +415,7 @@ def entry_golden_pp_fused(ctx):
     detect = build_detect_fn(Detector(classes=cfg.classes,
                                       anchor_num=cfg.anchor_num),
                              cfg, conf_thres=0.3, iou_thres=0.4,
-                             max_nms=256, fused=True)
+                             max_nms=128, fused=True)
     dets, counts = detect(ctx["variables"], jnp.asarray(img[None]))
     n = int(np.asarray(counts)[0])
     d = np.asarray(dets)[0, :n]
@@ -430,6 +437,7 @@ ENTRIES = [
     ("nms_single_1024", entry_nms_single_1024),
     ("nms_blocked_2048", entry_nms_blocked_2048),
     ("pp_fused_k128", entry_pp_fused_k128),
+    ("pp_fused_k256", entry_pp_fused_k256),
     ("pp_fused_k384", entry_pp_fused_k384),
     ("staged_k512", entry_staged_k512),
     ("int8_chain", entry_int8_chain),
